@@ -1,0 +1,113 @@
+"""SPEJax — the unified on-TPU inference engine.
+
+The reference duck-types one engine per deployment target, all exposing
+``predict(images) -> (pose, latency_ms)``:
+``SPETorch`` (`/root/reference/src/spe/spe_torch.py:41-76`), ``SPETVMARM``
+(`src/tvm/spe_tvm.py:45-86`), ``SPEFinn`` (`src/finn/spe_finn.py:48-165`)
+and ``SPEJetson`` (`src/nvidia/spe_nvidia.py:105-137`).  On TPU a single
+engine subsumes all of them: the whole pipeline
+
+    uint8 image -> normalize -> CNN -> last activation -> decode -> pose
+
+is one XLA program.  The float path runs the flax model in bfloat16; the
+int8 path (see :mod:`spef_tpu.quant`) swaps in the quantized forward.
+Decoding (soft-class eigendecomposition / EPnP) stays on device — no
+per-batch host round-trip like the reference's numpy decode.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from spef_tpu.codec.facade import SPEUtils
+from spef_tpu.models.wrapper import SPEModel
+
+__all__ = ["SPEJax", "build_predict_fn"]
+
+
+def _raw_to_pose(spe_utils: SPEUtils, pred) -> Dict[str, jax.Array]:
+    """Map raw network outputs to the pose dict keys used everywhere.
+
+    Mirrors `spe_torch.py:63-71`: tuple outputs map to (ori|ori_soft,
+    pos|pos_soft); single output maps to keypoints.
+    """
+    if spe_utils.ori_mode == "keypoints" and spe_utils.pos_mode == "keypoints":
+        return {"keypoints": pred if not isinstance(pred, tuple) else pred[0]}
+    out: Dict[str, jax.Array] = {}
+    ori_key = "ori" if spe_utils.ori_mode == "regression" else "ori_soft"
+    pos_key = "pos" if spe_utils.pos_mode == "regression" else "pos_soft"
+    out[ori_key] = pred[0]
+    out[pos_key] = pred[1]
+    return out
+
+
+def build_predict_fn(
+    model: SPEModel,
+    spe_utils: SPEUtils,
+    decode: bool = True,
+    forward_fn: Optional[Callable] = None,
+) -> Callable[[jax.Array], Dict[str, jax.Array]]:
+    """Build the fused (preprocess -> forward -> activ -> decode) function.
+
+    ``forward_fn(images) -> raw outputs`` defaults to the float model apply;
+    the int8 path passes its own.  The returned function is pure and
+    jittable; images are NHWC, either uint8 [0,255] or float [0,1].
+    """
+    variables = model.variables
+
+    def default_forward(images):
+        return model.module.apply(variables, images, False)
+
+    fwd = forward_fn or default_forward
+
+    def predict(images: jax.Array) -> Dict[str, jax.Array]:
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        pred = fwd(images)
+        pose = _raw_to_pose(spe_utils, pred)
+        pose = spe_utils.last_activ(pose)
+        if decode:
+            pose = spe_utils.decode(pose)
+        return pose
+
+    return predict
+
+
+class SPEJax:
+    """Stateful engine wrapper with the reference's ``predict`` contract."""
+
+    def __init__(
+        self,
+        model: SPEModel,
+        spe_utils: SPEUtils,
+        decode: bool = True,
+        forward_fn: Optional[Callable] = None,
+        donate: bool = False,
+    ):
+        self.model = model
+        self.spe_utils = spe_utils
+        self._predict = jax.jit(build_predict_fn(model, spe_utils, decode, forward_fn))
+
+    def predict(self, images) -> Tuple[Dict[str, jax.Array], float]:
+        """Run inference; returns (pose dict, wall latency in ms).
+
+        Matches `spe_torch.py:41-76`: latency covers dispatch + device
+        execution (block_until_ready), the pose dict holds device arrays
+        (callers convert with np.asarray when needed).
+        """
+        images = jnp.asarray(images)
+        start = time.perf_counter()
+        pose = self._predict(images)
+        pose = jax.block_until_ready(pose)
+        latency_ms = (time.perf_counter() - start) * 1000.0
+        return pose, latency_ms
+
+    def update_model(self, model: SPEModel) -> None:
+        """Swap model weights (reference `spe_torch.py:78-97`)."""
+        self.model = model
+        self._predict = jax.jit(build_predict_fn(model, self.spe_utils))

@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding tests run on emulated CPU devices
+(xla_force_host_platform_device_count) per the TPU-less CI strategy.
+
+Note: the environment's sitecustomize pre-registers a remote TPU backend
+and pins ``JAX_PLATFORMS``; plain env vars are therefore not enough — we
+override the jax config directly before any backend client is created.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

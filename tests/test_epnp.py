@@ -1,0 +1,114 @@
+"""Tests for the batched JAX EPnP solver, incl. parity against cv2.solvePnP.
+
+The reference decodes keypoints with ``cv2.solvePnP(EPNP)`` per-sample
+(`/root/reference/src/spe/keypoints_utils.py:112-174`); cv2 here serves as
+the ground-truth oracle for our batched solver.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spef_tpu.codec import KeyPoints, TANGO_3D_KEYPOINTS, epnp_solve_batch
+from spef_tpu.data import SPEED_CAMERA, SPEED_PLUS_CAMERA
+from spef_tpu.pose import rotations as rot
+
+cv2 = pytest.importorskip("cv2")
+
+
+def make_poses(n, seed=0):
+    rng = np.random.RandomState(seed)
+    q = np.asarray(rot.generate_orientation(jax.random.PRNGKey(seed), n))
+    z = rng.uniform(5, 30, n)
+    x = rng.uniform(-0.2, 0.2, n) * z
+    y = rng.uniform(-0.2, 0.2, n) * z
+    pos = np.stack([x, y, z], axis=-1).astype(np.float32)
+    return q.astype(np.float32), pos
+
+
+def project_cv2(q, pos, camera):
+    r = np.asarray(rot.quat2dcm(jnp.asarray(q)))
+    rvec, _ = cv2.Rodrigues(r)
+    dist = camera.distCoeffs if camera.dist_coeffs else np.zeros(5)
+    uv, _ = cv2.projectPoints(
+        TANGO_3D_KEYPOINTS.astype(np.float64), rvec, pos.astype(np.float64), camera.K, dist
+    )
+    return uv.reshape(-1, 2)
+
+
+class TestProjection:
+    @pytest.mark.parametrize("camera", [SPEED_CAMERA, SPEED_PLUS_CAMERA])
+    def test_project_matches_cv2(self, camera):
+        q, pos = make_poses(4, seed=1)
+        kp = KeyPoints.create(camera)
+        ours = np.asarray(kp.project(jnp.asarray(q), jnp.asarray(pos)))[:, 1:, :]  # drop origin
+        for i in range(4):
+            ref = project_cv2(q[i], pos[i], camera)
+            # float32 on-device vs cv2 float64: sub-pixel agreement suffices.
+            np.testing.assert_allclose(ours[i], ref, rtol=1e-3, atol=0.5)
+
+
+class TestEPnP:
+    @pytest.mark.parametrize("camera", [SPEED_CAMERA, SPEED_PLUS_CAMERA])
+    def test_exact_keypoints_recover_pose(self, camera):
+        q, pos = make_poses(8, seed=2)
+        kp = KeyPoints.create(camera)
+        uv = kp.project(jnp.asarray(q), jnp.asarray(pos))[:, 1:, :]  # pixels, no origin
+        K = jnp.asarray(camera.K, jnp.float32)
+        dist = None if camera.dist_coeffs is None else jnp.asarray(camera.dist_coeffs, jnp.float32)
+        r, t = epnp_solve_batch(jnp.asarray(TANGO_3D_KEYPOINTS), uv, K, dist)
+        q_est = np.asarray(rot.dcm2quat(r))
+        ang = np.rad2deg(np.asarray(rot.quat_angle(jnp.asarray(q), jnp.asarray(q_est))))
+        pos_err = np.linalg.norm(np.asarray(t) - pos, axis=-1)
+        assert ang.max() < 0.5, f"orientation error {ang}"
+        assert pos_err.max() < 0.05, f"position error {pos_err}"
+
+    def test_parity_with_cv2_on_noisy_keypoints(self):
+        """With noisy 2D points, our solution must stay close to cv2's EPNP."""
+        camera = SPEED_CAMERA
+        q, pos = make_poses(6, seed=3)
+        kp = KeyPoints.create(camera)
+        uv = np.asarray(kp.project(jnp.asarray(q), jnp.asarray(pos)))[:, 1:, :]
+        uv_noisy = uv + np.random.RandomState(4).randn(*uv.shape) * 2.0  # 2 px noise
+
+        K = jnp.asarray(camera.K, jnp.float32)
+        r_ours, t_ours = epnp_solve_batch(jnp.asarray(TANGO_3D_KEYPOINTS), jnp.asarray(uv_noisy), K)
+        q_ours = np.asarray(rot.dcm2quat(r_ours))
+
+        for i in range(6):
+            ok, rvec, tvec = cv2.solvePnP(
+                TANGO_3D_KEYPOINTS.reshape(-1, 1, 3).astype(np.float64),
+                uv_noisy[i].reshape(-1, 1, 2).astype(np.float64),
+                camera.K,
+                np.zeros(5),
+                flags=cv2.SOLVEPNP_EPNP,
+            )
+            assert ok
+            r_cv, _ = cv2.Rodrigues(rvec)
+            q_cv = np.asarray(rot.dcm2quat(jnp.asarray(r_cv)))
+            ang = np.rad2deg(float(rot.quat_angle(jnp.asarray(q_cv), jnp.asarray(q_ours[i]))))
+            t_diff = np.linalg.norm(np.asarray(t_ours[i]) - tvec.ravel())
+            assert ang < 2.0, f"sample {i}: ours vs cv2 angle {ang} deg"
+            assert t_diff < 0.3, f"sample {i}: ours vs cv2 pos diff {t_diff} m"
+
+    def test_decode_batch_roundtrip(self):
+        """Full normalized-label roundtrip through KeyPoints.decode_batch."""
+        camera = SPEED_CAMERA
+        q, pos = make_poses(5, seed=5)
+        kp = KeyPoints.create(camera)
+        labels = kp.create_keypoints2d(jnp.asarray(q), jnp.asarray(pos))  # (B, 24)
+        pose = kp.decode_batch(labels)
+        ang = np.rad2deg(np.asarray(rot.quat_angle(jnp.asarray(q), pose["ori"])))
+        pos_err = np.linalg.norm(np.asarray(pose["pos"]) - pos, axis=-1)
+        assert ang.max() < 0.5
+        assert pos_err.max() < 0.05
+
+    def test_bbox_from_keypoints(self):
+        camera = SPEED_CAMERA
+        q, pos = make_poses(3, seed=6)
+        kp = KeyPoints.create(camera)
+        labels = kp.create_keypoints2d(jnp.asarray(q), jnp.asarray(pos))
+        bbox = np.asarray(kp.create_bbox_from_keypoints(labels))
+        assert bbox.shape == (3, 4)
+        assert (bbox[:, 2] >= bbox[:, 0]).all() and (bbox[:, 3] >= bbox[:, 1]).all()
