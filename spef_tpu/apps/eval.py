@@ -1,0 +1,85 @@
+"""Evaluation CLI — single-model evaluation on a dataset's eval splits.
+
+Counterpart of `/root/reference/eval.py:13-59`; CLI flags replace the
+interactive ``input()`` prompt.
+
+Usage:
+    python -m spef_tpu.apps.eval --experiment experiments/train/exp_foo \
+        [--data /path/to/dataset] [--batch-size 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    from spef_tpu.codec.facade import SPEUtils
+    from spef_tpu.config.train_config import load_config
+    from spef_tpu.data.camera import load_camera
+    from spef_tpu.data.dataset import load_dataset
+    from spef_tpu.engine import SPEJax
+    from spef_tpu.models.wrapper import import_model
+    from spef_tpu.train.trainer import evaluation
+    from spef_tpu.utils.experiment import save_score_error, set_seed
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--experiment", required=True, help="trained experiment dir")
+    parser.add_argument("--data", default=None, help="dataset path override")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--seed", type=int, default=1001)
+    args = parser.parse_args(argv)
+
+    set_seed(args.seed)
+    cfg = load_config(os.path.join(args.experiment, "config.yaml"))
+    data_path = args.data or cfg.DATA.PATH
+
+    camera = load_camera(data_path)
+    spe_utils = SPEUtils.create(
+        camera,
+        ori_mode=cfg.MODEL.HEAD.ORI,
+        n_ori_bins_per_dim=cfg.MODEL.HEAD.N_ORI_BINS_PER_DIM,
+        ori_smooth_factor=cfg.DATA.ORI_SMOOTH_FACTOR,
+        ori_delete_unused_bins=cfg.MODEL.HEAD.ORI_DELETE_UNUSED_BINS,
+        pos_mode=cfg.MODEL.HEAD.POS,
+        n_pos_bins_per_dim=cfg.MODEL.HEAD.N_POS_BINS_PER_DIM,
+        pos_smooth_factor=cfg.DATA.POS_SMOOTH_FACTOR,
+    )
+    data, split = load_dataset(data_path, args.batch_size, tuple(cfg.DATA.IMG_SIZE))
+
+    bw_path = os.path.join(args.experiment, "model", "bit_width.json")
+    bit_width = None
+    if os.path.isfile(bw_path):
+        from spef_tpu.quant.bitwidth import load_bit_width
+
+        bit_width = load_bit_width(bw_path)
+
+    model = import_model(
+        backbone_name=cfg.MODEL.BACKBONE.NAME,
+        head_name=cfg.MODEL.HEAD.NAME,
+        img_size=tuple(cfg.DATA.IMG_SIZE),
+        params_path=os.path.join(args.experiment, "model", "parameters.msgpack"),
+        bit_width=bit_width,
+        residual=cfg.MODEL.BACKBONE.RESIDUAL,
+        quantization=cfg.MODEL.QUANTIZATION,
+        ori_mode=cfg.MODEL.HEAD.ORI,
+        n_ori_bins=spe_utils.orientation.n_bins,
+        pos_mode=cfg.MODEL.HEAD.POS,
+        n_pos_bins=spe_utils.position.n_bins,
+    )
+
+    engine = SPEJax(model, spe_utils)
+    rec_score, rec_error = evaluation(engine, data, spe_utils, split["eval"])
+
+    for phase in split["eval"]:
+        print(
+            f"[{phase}] esa={rec_score[phase]['esa'][0]:.4f} "
+            f"ori_err={rec_error[phase]['ori'][0]:.2f}deg (+/-{rec_error[phase]['ori_std'][0]:.2f}) "
+            f"pos_err={rec_error[phase]['pos'][0]:.3f}m (+/-{rec_error[phase]['pos_std'][0]:.3f})"
+        )
+    save_score_error(args.experiment, rec_score, rec_error, name="eval_score_error")
+
+
+if __name__ == "__main__":
+    main()

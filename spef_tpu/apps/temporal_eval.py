@@ -1,0 +1,173 @@
+"""Temporal (video) evaluation CLI.
+
+Counterpart of `/root/reference/temporal.py:51-546`: per-sequence streaming
+inference with adaptive PDF filtering, still-vs-video metrics, per-axis
+Euler error traces, report figures and score persistence.
+
+TPU-native difference: each sequence runs through the fused
+``sequence_inference`` path (batched forward + lax.scan filter) instead of
+a frame-at-a-time host loop.
+
+Usage:
+    python -m spef_tpu.apps.temporal_eval --experiment experiments/train/exp_x \
+        --data /path/to/dspeed/video [--plots]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def evaluate_sequence(spe_utils, forward_fn, loader, filter_video=True):
+    """Run one sequence; returns (results dict, truth dict, metrics dict)."""
+    from spef_tpu.pose.rotations import quat2euler
+    from spef_tpu.pose.score import score_batch
+    from spef_tpu.temporal.inference import sequence_inference
+
+    frames = []
+    oris = []
+    poss = []
+    for batch in loader:
+        n_valid = int(batch["mask"].sum())
+        frames.append(batch["images"][:n_valid])
+        oris.append(batch["ori"][:n_valid])
+        poss.append(batch["pos"][:n_valid])
+    frames = np.concatenate(frames)
+    truth = {"ori": np.concatenate(oris), "pos": np.concatenate(poss)}
+
+    res = sequence_inference(spe_utils, forward_fn, jnp.asarray(frames),
+                             filter_video=filter_video)
+
+    metrics = {}
+    still = score_batch(jnp.asarray(truth["ori"]), jnp.asarray(truth["pos"]),
+                        res["ori_still"], res["pos_still"])
+    metrics["still"] = {k: float(v) for k, v in still.items()}
+    if filter_video:
+        video = score_batch(jnp.asarray(truth["ori"]), jnp.asarray(truth["pos"]),
+                            res["ori_video"], res["pos_video"])
+        metrics["video"] = {k: float(v) for k, v in video.items()}
+
+    # Per-axis Euler traces (reference plots yaw/pitch/roll errors).
+    metrics["euler_true"] = np.asarray(quat2euler(jnp.asarray(truth["ori"]))).tolist()
+    metrics["euler_still"] = np.asarray(quat2euler(res["ori_still"])).tolist()
+    if filter_video:
+        metrics["euler_video"] = np.asarray(quat2euler(res["ori_video"])).tolist()
+        metrics["ori_distance"] = np.asarray(res["ori_distance"]).tolist()
+        metrics["pos_distance"] = np.asarray(res["pos_distance"]).tolist()
+    return res, truth, metrics
+
+
+def make_plots(out_dir, seq_name, metrics):
+    """Reference-style report figures (`temporal.py:297-517`), condensed."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    et = np.asarray(metrics["euler_true"])
+    es = np.asarray(metrics["euler_still"])
+    fig, axes = plt.subplots(3, 1, figsize=(10, 8), sharex=True)
+    names = ["yaw", "pitch", "roll"]
+    for i, ax in enumerate(axes):
+        ax.plot(et[:, i], label="true", lw=1)
+        ax.plot(es[:, i], label="still", lw=1, alpha=0.7)
+        if "euler_video" in metrics:
+            ev = np.asarray(metrics["euler_video"])
+            ax.plot(ev[:, i], label="video", lw=1, alpha=0.7)
+        ax.set_ylabel(f"{names[i]} [deg]")
+        ax.legend(loc="upper right", fontsize=8)
+    axes[-1].set_xlabel("frame")
+    fig.suptitle(f"{seq_name}: Euler angles")
+    fig.savefig(os.path.join(out_dir, f"{seq_name}_euler.png"), dpi=100)
+    plt.close(fig)
+
+    if "ori_distance" in metrics:
+        fig, ax = plt.subplots(figsize=(10, 3))
+        ax.plot(metrics["ori_distance"], label="ori PDF distance", lw=1)
+        ax.plot(metrics["pos_distance"], label="pos PDF distance", lw=1)
+        ax.legend()
+        ax.set_xlabel("frame")
+        fig.savefig(os.path.join(out_dir, f"{seq_name}_distance.png"), dpi=100)
+        plt.close(fig)
+
+
+def main(argv=None):
+    from spef_tpu.codec.facade import SPEUtils
+    from spef_tpu.config.train_config import load_config
+    from spef_tpu.data.camera import load_camera
+    from spef_tpu.data.dataset import load_dataset
+    from spef_tpu.models.wrapper import import_model
+    from spef_tpu.utils.experiment import set_seed
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--experiment", required=True)
+    parser.add_argument("--data", required=True, help="video dataset root")
+    parser.add_argument("--no-filter", action="store_true")
+    parser.add_argument("--plots", action="store_true")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+
+    set_seed(1001)
+    cfg = load_config(os.path.join(args.experiment, "config.yaml"))
+    assert cfg.MODEL.HEAD.ORI == "classification" and cfg.MODEL.HEAD.POS == "classification", (
+        "Adaptative temporal filtering requires classification/classification"
+    )
+
+    camera = load_camera(args.data)
+    spe_utils = SPEUtils.create(
+        camera,
+        ori_mode=cfg.MODEL.HEAD.ORI,
+        n_ori_bins_per_dim=cfg.MODEL.HEAD.N_ORI_BINS_PER_DIM,
+        ori_smooth_factor=cfg.DATA.ORI_SMOOTH_FACTOR,
+        ori_delete_unused_bins=cfg.MODEL.HEAD.ORI_DELETE_UNUSED_BINS,
+        pos_mode=cfg.MODEL.HEAD.POS,
+        n_pos_bins_per_dim=cfg.MODEL.HEAD.N_POS_BINS_PER_DIM,
+        pos_smooth_factor=cfg.DATA.POS_SMOOTH_FACTOR,
+    )
+    data, split = load_dataset(args.data, batch_size=32, img_size=tuple(cfg.DATA.IMG_SIZE))
+
+    model = import_model(
+        backbone_name=cfg.MODEL.BACKBONE.NAME,
+        head_name=cfg.MODEL.HEAD.NAME,
+        img_size=tuple(cfg.DATA.IMG_SIZE),
+        params_path=os.path.join(args.experiment, "model", "parameters.msgpack"),
+        residual=cfg.MODEL.BACKBONE.RESIDUAL,
+        quantization=cfg.MODEL.QUANTIZATION,
+        ori_mode=cfg.MODEL.HEAD.ORI,
+        n_ori_bins=spe_utils.orientation.n_bins,
+        pos_mode=cfg.MODEL.HEAD.POS,
+        n_pos_bins=spe_utils.position.n_bins,
+    )
+
+    def forward_fn(images):
+        return model.apply(images, False)
+
+    out_dir = args.out or os.path.join(args.experiment, "temporal")
+    os.makedirs(out_dir, exist_ok=True)
+    summary = {}
+    for seq in split["eval"]:
+        _, _, metrics = evaluate_sequence(
+            spe_utils, forward_fn, data[seq], filter_video=not args.no_filter
+        )
+        summary[seq] = {k: metrics[k] for k in ("still", "video") if k in metrics}
+        still = metrics["still"]["esa_score"]
+        line = f"[{seq}] still esa={still:.4f}"
+        if "video" in metrics:
+            line += f"  video esa={metrics['video']['esa_score']:.4f}"
+        print(line)
+        if args.plots:
+            make_plots(out_dir, seq, metrics)
+
+    with open(os.path.join(out_dir, "temporal_metrics.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"Saved metrics to {out_dir}/temporal_metrics.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Training CLI — multi-experiment driver.
+
+Counterpart of `/root/reference/train.py:18-135`: discovers ``exp_*``
+configs in a folder (plain YAML = float model; directory with YAML +
+``bit_width.json`` = quantized model), trains each, evaluates, and persists
+config + scores + checkpoint per experiment.  CLI flags replace the
+reference's interactive prompts.
+
+Usage:
+    python -m spef_tpu.apps.train --config path/to/exp.yaml --out experiments/train
+    python -m spef_tpu.apps.train --experiments path/to/folder --out experiments/train
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import traceback
+
+import jax
+
+
+def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 1001) -> dict:
+    from spef_tpu.codec.facade import SPEUtils
+    from spef_tpu.config.train_config import save_config
+    from spef_tpu.data.camera import load_camera
+    from spef_tpu.data.dataset import load_dataset
+    from spef_tpu.engine import SPEJax
+    from spef_tpu.models.wrapper import import_model, save_model
+    from spef_tpu.train.loss import SPELoss
+    from spef_tpu.train.optimizer import import_optimizer
+    from spef_tpu.train.step import create_train_state
+    from spef_tpu.train.trainer import Trainer, evaluation
+    from spef_tpu.utils.experiment import prepare_directories, save_score_error, set_seed
+
+    set_seed(seed)
+    save_folder = prepare_directories(os.path.join(out_root, name))
+    print(f"\nResults will be saved to {save_folder}\n")
+
+    camera = load_camera(cfg.DATA.PATH)
+    spe_utils = SPEUtils.create(
+        camera,
+        ori_mode=cfg.MODEL.HEAD.ORI,
+        n_ori_bins_per_dim=cfg.MODEL.HEAD.N_ORI_BINS_PER_DIM,
+        ori_smooth_factor=cfg.DATA.ORI_SMOOTH_FACTOR,
+        ori_delete_unused_bins=cfg.MODEL.HEAD.ORI_DELETE_UNUSED_BINS,
+        pos_mode=cfg.MODEL.HEAD.POS,
+        n_pos_bins_per_dim=cfg.MODEL.HEAD.N_POS_BINS_PER_DIM,
+        pos_smooth_factor=cfg.DATA.POS_SMOOTH_FACTOR,
+    )
+
+    data, split = load_dataset(
+        cfg.DATA.PATH, cfg.DATA.BATCH_SIZE, tuple(cfg.DATA.IMG_SIZE),
+        shuffle=cfg.DATA.SHUFFLE, seed=seed,
+    )
+
+    bit_width = None
+    if bit_width_path:
+        from spef_tpu.quant.bitwidth import load_bit_width
+
+        bit_width = load_bit_width(bit_width_path)
+
+    model = import_model(
+        backbone_name=cfg.MODEL.BACKBONE.NAME,
+        head_name=cfg.MODEL.HEAD.NAME,
+        img_size=tuple(cfg.DATA.IMG_SIZE),
+        params_path=cfg.MODEL.PRETRAINED_PATH or None,
+        bit_width=bit_width,
+        residual=cfg.MODEL.BACKBONE.RESIDUAL,
+        quantization=cfg.MODEL.QUANTIZATION,
+        ori_mode=cfg.MODEL.HEAD.ORI,
+        n_ori_bins=spe_utils.orientation.n_bins,
+        pos_mode=cfg.MODEL.HEAD.POS,
+        n_pos_bins=spe_utils.position.n_bins,
+        seed=seed,
+    )
+
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(model.params))
+    print(f"Number of trainable parameters in the model: {n_params:,}\n")
+
+    spe_loss = SPELoss(cfg.MODEL.HEAD.ORI, cfg.MODEL.HEAD.POS, beta=1, norm_distance=True)
+    tx, scheduler = import_optimizer(
+        cfg.TRAIN.LR, cfg.TRAIN.OPTIM, cfg.TRAIN.MOMENTUM, cfg.TRAIN.DECAY,
+        cfg.TRAIN.SCHEDULER, tuple(cfg.TRAIN.MILESTONES), cfg.TRAIN.GAMMA,
+    )
+    state = create_train_state(model, tx)
+
+    save_config(cfg, os.path.join(save_folder, "config.yaml"))
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(save_folder, "tensorboard"))
+    except ImportError:
+        pass
+
+    trainer = Trainer(
+        spe_utils, spe_loss, camera,
+        rot_augment=cfg.DATA.ROT_AUGMENT, other_augment=cfg.DATA.OTHER_AUGMENT,
+        clip_batchnorm=cfg.TRAIN.CLIP_BATCHNORM, seed=seed,
+    )
+    state, rec_loss, rec_score, rec_error = trainer.fit(
+        state, data, cfg.TRAIN.N_EPOCH, scheduler, split["train"], writer=writer,
+    )
+    if writer is not None:
+        writer.close()
+
+    # Final evaluation through the engine + persistence.
+    model.variables = {"params": state.params, "batch_stats": state.batch_stats}
+    engine = SPEJax(model, spe_utils)
+    eval_score, eval_error = evaluation(engine, data, spe_utils, split["eval"])
+    save_score_error(save_folder, eval_score, eval_error)
+    save_model(os.path.join(save_folder, "model"), model, bit_width)
+    return {"loss": rec_loss, "score": eval_score, "error": eval_error}
+
+
+def main(argv=None):
+    from spef_tpu.config.train_config import discover_experiments, load_config
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", help="single experiment YAML")
+    parser.add_argument("--experiments", help="folder of exp_* configs")
+    parser.add_argument("--out", default="experiments/train", help="output root")
+    parser.add_argument("--seed", type=int, default=1001)
+    args = parser.parse_args(argv)
+
+    if args.config:
+        exps = {os.path.splitext(os.path.basename(args.config))[0]: {
+            "config": args.config, "bit_width": None}}
+    elif args.experiments:
+        exps = discover_experiments(args.experiments)
+    else:
+        parser.error("one of --config / --experiments is required")
+
+    logging.basicConfig(level=logging.INFO)
+    for name, paths in exps.items():
+        out_dir = os.path.join(args.out, name)
+        if os.path.isdir(out_dir) and os.listdir(out_dir):
+            print(f"Skip {name}: {out_dir} already exists")
+            continue
+        try:
+            cfg = load_config(paths["config"])
+            run_experiment(name, cfg, paths["bit_width"], args.out, args.seed)
+        except Exception:
+            # Per-experiment error isolation (reference `train.py:106-131`).
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "error.log"), "a") as f:
+                traceback.print_exc(file=f)
+            traceback.print_exc()
+            print(f"Experiment {name} failed; continuing", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

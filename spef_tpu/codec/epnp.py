@@ -294,15 +294,80 @@ def _epnp_normalized(pws: jax.Array, uv_norm: jax.Array) -> Tuple[jax.Array, jax
     return rs[best], ts[best]
 
 
+def _refine_pose(r: jax.Array, t: jax.Array, pws: jax.Array, uv_norm: jax.Array,
+                 iters: int = 5) -> Tuple[jax.Array, jax.Array]:
+    """Gauss-Newton reprojection refinement on se(3) around an initial pose.
+
+    Counterpart of OpenCV's iterative refinement (SOLVEPNP_ITERATIVE uses
+    the same normal-equation step); EPnP output is close enough that a few
+    fixed iterations converge.  Keeps the solver fully jittable.
+    """
+
+    def residual(r, t):
+        pc = pws @ r.T + t
+        proj = pc[:, :2] / pc[:, 2:3]
+        return (proj - uv_norm).reshape(-1), pc
+
+    def skew(v):
+        return jnp.array([
+            [0.0, -v[2], v[1]],
+            [v[2], 0.0, -v[0]],
+            [-v[1], v[0], 0.0],
+        ])
+
+    def exp_so3(w):
+        th = jnp.linalg.norm(w) + 1e-12
+        k = skew(w / th)
+        return jnp.eye(3) + jnp.sin(th) * k + (1 - jnp.cos(th)) * (k @ k)
+
+    def body(_, rt):
+        r, t = rt
+        res, pc = residual(r, t)
+        n = pws.shape[0]
+        # Jacobian of projection w.r.t. (omega, dt): standard point-Jacobian.
+        x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+        inv_z = 1.0 / z
+        u = x * inv_z
+        v = y * inv_z
+        # d(u,v)/d(pc)
+        du = jnp.stack([inv_z, jnp.zeros_like(z), -u * inv_z], axis=-1)  # (N,3)
+        dv = jnp.stack([jnp.zeros_like(z), inv_z, -v * inv_z], axis=-1)
+        # d(pc)/d(omega) = -skew(pc), d(pc)/d(dt) = I
+        skew_pc = jnp.stack([
+            jnp.zeros_like(x), -z, y,
+            z, jnp.zeros_like(x), -x,
+            -y, x, jnp.zeros_like(x),
+        ], axis=-1).reshape(-1, 3, 3)
+        ju_w = -jnp.einsum("ni,nij->nj", du, skew_pc)
+        jv_w = -jnp.einsum("ni,nij->nj", dv, skew_pc)
+        j = jnp.concatenate(
+            [
+                jnp.concatenate([ju_w, du], axis=-1)[:, None, :],
+                jnp.concatenate([jv_w, dv], axis=-1)[:, None, :],
+            ],
+            axis=1,
+        ).reshape(2 * n, 6)
+        delta = _lstsq(j, -res)
+        r_new = exp_so3(delta[:3]) @ r
+        t_new = t + delta[3:]
+        return (r_new, t_new)
+
+    return jax.lax.fori_loop(0, iters, body, (r, t))
+
+
 def epnp_solve(
     pts3d: jax.Array,
     pts2d: jax.Array,
     K: jax.Array,
     dist: Optional[jax.Array] = None,
+    refine: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Solve a single PnP problem: world points + pixel points -> (R, t)."""
     uv = undistort_points(pts2d, K, dist)
-    return _epnp_normalized(pts3d, uv)
+    r, t = _epnp_normalized(pts3d, uv)
+    if refine:
+        r, t = _refine_pose(r, t, pts3d, uv)
+    return r, t
 
 
 def epnp_solve_batch(
@@ -310,6 +375,7 @@ def epnp_solve_batch(
     pts2d: jax.Array,
     K: jax.Array,
     dist: Optional[jax.Array] = None,
+    refine: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched solve: ``pts3d`` (N, 3) shared, ``pts2d`` (B, N, 2) pixels.
 
@@ -317,4 +383,11 @@ def epnp_solve_batch(
     ``cv2.solvePnP`` python loop (`keypoints_utils.py:152-174`).
     """
     uv = undistort_points(pts2d, K, dist)
-    return jax.vmap(lambda u: _epnp_normalized(pts3d, u))(uv)
+
+    def solve_one(u):
+        r, t = _epnp_normalized(pts3d, u)
+        if refine:
+            r, t = _refine_pose(r, t, pts3d, u)
+        return r, t
+
+    return jax.vmap(solve_one)(uv)

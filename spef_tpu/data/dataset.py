@@ -1,0 +1,264 @@
+"""Dataset manifests + host-side batch pipeline.
+
+Counterpart of the reference's torch Dataset/DataLoader stack
+(`/root/reference/src/data/utils.py:171-257`,
+`src/data/datasets/{speed,speed_plus,dspeed}.py`,
+`src/data/import_dataset.py:13-84`).  Same JSON label schemas (quaternion
+key aliases ``q`` / ``q_vbs2tango`` / ``q_vbs2tango_true``; position ``t`` /
+``r_Vo2To_vbs_true``), same numeric-filename sort for video order, same
+split structure per dataset.
+
+TPU-first differences:
+  * the loader yields **uint8 NHWC device-ready batches** (resize happens on
+    host with PIL; everything after — normalize, augment, encode —
+    is device-side and fused into the train step);
+  * the last partial batch is **padded to full batch size with a validity
+    mask** so the jitted step compiles exactly once per shape;
+  * target soft-encoding is done on device (``SPEUtils.encode_targets``),
+    not in ``__getitem__``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from spef_tpu.data.camera import Camera, load_camera
+
+__all__ = ["PoseRecord", "Manifest", "BatchLoader", "load_dataset"]
+
+_ORI_KEYS = ("q", "q_vbs2tango", "q_vbs2tango_true")
+_POS_KEYS = ("t", "r_Vo2To_vbs_true")
+
+
+def _image_number(path: str) -> int:
+    digits = re.sub(r"[^0-9]", "", os.path.basename(path))
+    return int(digits) if digits else 0
+
+
+@dataclasses.dataclass
+class PoseRecord:
+    image_path: str
+    ori: np.ndarray  # (4,)
+    pos: np.ndarray  # (3,)
+
+
+@dataclasses.dataclass
+class Manifest:
+    """A sorted list of (image, pose) records loaded from a labels JSON."""
+
+    records: List[PoseRecord]
+
+    @classmethod
+    def from_json(cls, labels_path: str, images_path: str) -> "Manifest":
+        with open(labels_path) as f:
+            targets = json.load(f)
+        ori_key = next((k for k in _ORI_KEYS if k in targets[0]), None)
+        pos_key = next((k for k in _POS_KEYS if k in targets[0]), None)
+        assert ori_key and pos_key, f"Unrecognized label schema in {labels_path}"
+        records = [
+            PoseRecord(
+                image_path=os.path.join(images_path, t["filename"]),
+                ori=np.asarray(t[ori_key], np.float32),
+                pos=np.asarray(t[pos_key], np.float32),
+            )
+            for t in targets
+        ]
+        # Numeric-filename sort for video frame order (`data/utils.py:206`).
+        records.sort(key=lambda r: _image_number(r.image_path))
+        return cls(records)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+
+def _load_image(path: str, img_size: Tuple[int, int]) -> np.ndarray:
+    """Load + resize to (H, W) -> uint8 (H, W, 3)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((img_size[1], img_size[0]), Image.BILINEAR)
+        return np.asarray(im, np.uint8)
+
+
+class BatchLoader:
+    """Host-side batch iterator yielding padded, masked uint8 batches.
+
+    Yields dicts: ``images`` (B,H,W,3) uint8, ``ori`` (B,4), ``pos`` (B,3),
+    ``mask`` (B,) float32 (0 for padding rows of the final batch).
+    """
+
+    def __init__(
+        self,
+        manifest: Manifest,
+        batch_size: int,
+        img_size: Tuple[int, int] = (240, 384),
+        shuffle: bool = False,
+        seed: int = 1001,
+        n_workers: int = 16,
+        drop_remainder: bool = False,
+    ):
+        self.manifest = manifest
+        self.batch_size = batch_size
+        self.img_size = tuple(img_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.n_workers = n_workers
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.manifest)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.manifest)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.manifest))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+
+        bs = self.batch_size
+        with ThreadPoolExecutor(max_workers=self.n_workers) as pool:
+            for start in range(0, len(order), bs):
+                idx = order[start : start + bs]
+                if len(idx) < bs and self.drop_remainder:
+                    break
+                recs = [self.manifest.records[i] for i in idx]
+                images = list(pool.map(lambda r: _load_image(r.image_path, self.img_size), recs))
+                n_valid = len(recs)
+                if n_valid < bs:  # pad to full batch, mask invalid rows
+                    pad = bs - n_valid
+                    images += [np.zeros_like(images[0])] * pad
+                    recs += [recs[-1]] * pad
+                yield {
+                    "images": np.stack(images),
+                    "ori": np.stack([r.ori for r in recs]),
+                    "pos": np.stack([r.pos for r in recs]),
+                    "mask": np.concatenate(
+                        [np.ones(n_valid, np.float32), np.zeros(bs - n_valid, np.float32)]
+                    ),
+                }
+
+
+# ---------------------------------------------------------------------------
+# Per-dataset importers (reference `src/data/datasets/*.py`).
+# ---------------------------------------------------------------------------
+
+
+def _make_loaders(
+    splits: Dict[str, Tuple[str, str]],
+    batch_size: int,
+    img_size,
+    shuffle: bool,
+    seed: int,
+    n_workers: int,
+    shuffle_only_train: bool = True,
+) -> Dict[str, BatchLoader]:
+    loaders = {}
+    for name, (images_path, labels_path) in splits.items():
+        if not os.path.isfile(labels_path):
+            continue
+        manifest = Manifest.from_json(labels_path, images_path)
+        loaders[name] = BatchLoader(
+            manifest,
+            batch_size,
+            img_size,
+            shuffle=shuffle and (name == "train" or not shuffle_only_train),
+            seed=seed,
+            n_workers=n_workers,
+        )
+    return loaders
+
+
+def import_speed(path, batch_size, img_size, shuffle=False, seed=1001):
+    """SPEED splits: train/valid/real (`datasets/speed.py:35-118`)."""
+    splits = {
+        "train": (os.path.join(path, "images", "train"), os.path.join(path, "train_no_valid.json")),
+        "valid": (os.path.join(path, "images", "train"), os.path.join(path, "valid.json")),
+        "real": (os.path.join(path, "images", "real"), os.path.join(path, "real.json")),
+    }
+    data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=16)
+    split = {"train": tuple(k for k in ("train", "valid", "real") if k in data),
+             "eval": tuple(k for k in ("valid", "real") if k in data)}
+    return data, split
+
+
+def import_speed_plus(path, batch_size, img_size, shuffle=False, seed=1001):
+    """SPEED+ splits: train/valid/sunlamp/lightbox (`datasets/speed_plus.py:100-109`)."""
+    sy = os.path.join(path, "synthetic")
+    splits = {
+        "train": (os.path.join(sy, "images"), os.path.join(sy, "train.json")),
+        "valid": (os.path.join(sy, "images"), os.path.join(sy, "validation.json")),
+        "sunlamp": (os.path.join(path, "sunlamp", "images"), os.path.join(path, "sunlamp", "test.json")),
+        "lightbox": (os.path.join(path, "lightbox", "images"), os.path.join(path, "lightbox", "test.json")),
+    }
+    data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=16)
+    split = {
+        "train": tuple(k for k in ("train", "valid", "sunlamp", "lightbox") if k in data),
+        "eval": tuple(k for k in ("valid", "sunlamp", "lightbox") if k in data),
+    }
+    return data, split
+
+
+def import_dspeed(path, batch_size, img_size, shuffle=False, seed=1001):
+    """D-SPEED still splits: train/valid/test (`datasets/dspeed.py:88-116`)."""
+    splits = {
+        name: (os.path.join(path, name, "images"), os.path.join(path, name, "pose.json"))
+        for name in ("train", "valid", "test")
+    }
+    data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=64)
+    split = {"train": tuple(k for k in ("train", "valid", "test") if k in data),
+             "eval": tuple(k for k in ("valid", "test") if k in data)}
+    return data, split
+
+
+def import_dspeed_video(path, batch_size, img_size):
+    """D-SPEED video: one ordered loader per sequence dir
+    (`datasets/dspeed.py:119-161`)."""
+    data = {}
+    for seq in sorted(os.listdir(path)):
+        seq_dir = os.path.join(path, seq)
+        labels = os.path.join(seq_dir, "pose.json")
+        if not os.path.isfile(labels):
+            continue
+        manifest = Manifest.from_json(labels, os.path.join(seq_dir, "images"))
+        data[seq] = BatchLoader(manifest, batch_size, img_size, shuffle=False, n_workers=8)
+    split = {"eval": tuple(data.keys())}
+    return data, split
+
+
+def load_dataset(
+    path: str,
+    batch_size: int = 1,
+    img_size: Tuple[int, int] = (240, 384),
+    shuffle: bool = False,
+    seed: int = 1001,
+):
+    """Dataset dispatch by path (reference `import_dataset.py:13-57`)."""
+    assert os.path.exists(path), f"Dataset path {path} does not exist"
+    name = os.path.split(path.rstrip("/"))[-1]
+    if name == "speed":
+        return import_speed(path, batch_size, img_size, shuffle, seed)
+    if name == "speed_plus":
+        return import_speed_plus(path, batch_size, img_size, shuffle, seed)
+    if "dspeed" in path and name == "still":
+        return import_dspeed(path, batch_size, img_size, shuffle, seed)
+    if "dspeed" in path and name == "video":
+        return import_dspeed_video(path, batch_size, img_size)
+    # Fallback: any directory holding pose.json splits behaves like dspeed-still.
+    if os.path.isdir(os.path.join(path, "train")):
+        return import_dspeed(path, batch_size, img_size, shuffle, seed)
+    raise ValueError(f"Dataset {name} not implemented")

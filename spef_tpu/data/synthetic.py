@@ -1,0 +1,184 @@
+"""Synthetic dataset rendering — wireframe Tango frames with exact poses.
+
+The reference's D-SPEED generator (`/root/reference/create_dspeed.py`)
+produces pose labels; images come from an external renderer.  For
+self-contained end-to-end runs (tests, benchmarks, CI) this module renders
+simple wireframe frames with cv2 so the full train/eval/temporal pipeline
+can execute with real pose<->image correspondence.
+
+The pose sampling mirrors `create_dspeed.py:56-96`: uniform random
+orientations, positions with z in [3, 35], x/y within +/-0.3 z, and a
+keypoint-visibility constraint (>= 8 of 11 keypoints inside the frame).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from spef_tpu.codec.keypoints import TANGO_3D_KEYPOINTS
+from spef_tpu.data.camera import Camera, DSPEED_CAMERA
+
+__all__ = ["generate_positions", "render_frame", "create_synthetic_dataset"]
+
+# Wireframe edges over the 11 Tango keypoints (top face, bottom face, pillars,
+# antenna tips to nearest top corners).
+_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 0),  # top plate
+    (4, 5), (5, 6), (6, 7), (7, 4),  # bottom plate
+    (0, 4), (1, 5), (2, 6), (3, 7),  # pillars
+    (1, 8), (2, 9), (3, 10),  # antennas
+]
+
+
+def _project_np(q: np.ndarray, pos: np.ndarray, camera: Camera) -> np.ndarray:
+    """Host-side numpy projection of the 11 keypoints -> (11, 2) pixels."""
+    q0, q1, q2, q3 = q
+    r = np.array(
+        [
+            [2 * q0**2 - 1 + 2 * q1**2, 2 * q1 * q2 - 2 * q0 * q3, 2 * q1 * q3 + 2 * q0 * q2],
+            [2 * q1 * q2 + 2 * q0 * q3, 2 * q0**2 - 1 + 2 * q2**2, 2 * q2 * q3 - 2 * q0 * q1],
+            [2 * q1 * q3 - 2 * q0 * q2, 2 * q2 * q3 + 2 * q0 * q1, 2 * q0**2 - 1 + 2 * q3**2],
+        ]
+    )
+    xyz = TANGO_3D_KEYPOINTS @ r.T + pos
+    k = camera.K
+    u = k[0, 0] * xyz[:, 0] / xyz[:, 2] + k[0, 2]
+    v = k[1, 1] * xyz[:, 1] / xyz[:, 2] + k[1, 2]
+    return np.stack([u, v], axis=-1)
+
+
+def _random_quats(rng: np.random.RandomState, n: int) -> np.ndarray:
+    """Shoemake uniform quaternions (host RNG)."""
+    x0, x1, x2 = rng.rand(n), rng.rand(n), rng.rand(n)
+    t1, t2 = 2 * np.pi * x1, 2 * np.pi * x2
+    r1, r2 = np.sqrt(1 - x0), np.sqrt(x0)
+    return np.stack([np.sin(t1) * r1, np.cos(t1) * r1, np.sin(t2) * r2, np.cos(t2) * r2], -1)
+
+
+def generate_positions(
+    rng: np.random.RandomState,
+    n: int,
+    camera: Camera = DSPEED_CAMERA,
+    z_range: Tuple[float, float] = (3.0, 35.0),
+    min_visible: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample (ori, pos) pairs with the visibility constraint of
+    `create_dspeed.py:56-96` via rejection sampling."""
+    oris, poss = [], []
+    while len(oris) < n:
+        q = _random_quats(rng, 1)[0]
+        z = rng.uniform(*z_range)
+        x = rng.uniform(-0.3, 0.3) * z
+        y = rng.uniform(-0.3, 0.3) * z
+        pos = np.array([x, y, z], np.float32)
+        uv = _project_np(q, pos, camera)
+        visible = np.sum(
+            (uv[:, 0] >= 0) & (uv[:, 0] < camera.nu) & (uv[:, 1] >= 0) & (uv[:, 1] < camera.nv)
+        )
+        if visible >= min_visible:
+            oris.append(q.astype(np.float32))
+            poss.append(pos)
+    return np.stack(oris), np.stack(poss)
+
+
+def render_frame(
+    q: np.ndarray,
+    pos: np.ndarray,
+    camera: Camera = DSPEED_CAMERA,
+    img_size: Tuple[int, int] = (1200, 1920),
+    noise_std: float = 6.0,
+    rng: Optional[np.random.RandomState] = None,
+) -> np.ndarray:
+    """Render one wireframe frame (H, W, 3) uint8 at camera resolution scaled
+    to ``img_size`` (H, W)."""
+    import cv2
+
+    h, w = img_size
+    sx, sy = w / camera.nu, h / camera.nv
+    uv = _project_np(q, pos, camera)
+    uv = np.stack([uv[:, 0] * sx, uv[:, 1] * sy], -1)
+
+    img = np.zeros((h, w, 3), np.uint8)
+    depth = float(pos[2])
+    thickness = max(1, int(round(60.0 / depth * min(sx, sy) * 3)))
+    for a, b in _EDGES:
+        pa = tuple(np.round(uv[a]).astype(int))
+        pb = tuple(np.round(uv[b]).astype(int))
+        cv2.line(img, pa, pb, (190, 190, 200), thickness, lineType=cv2.LINE_AA)
+    for i in range(uv.shape[0]):
+        p = tuple(np.round(uv[i]).astype(int))
+        cv2.circle(img, p, thickness + 1, (255, 255, 255), -1, lineType=cv2.LINE_AA)
+    if noise_std > 0:
+        rng = rng or np.random.RandomState(0)
+        noise = rng.randn(h, w, 1) * noise_std
+        img = np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+    return img
+
+
+def create_synthetic_dataset(
+    root: str,
+    n_train: int = 64,
+    n_valid: int = 16,
+    n_test: int = 16,
+    img_size: Tuple[int, int] = (1200, 1920),
+    seed: int = 1001,
+    camera: Camera = DSPEED_CAMERA,
+) -> str:
+    """Write a D-SPEED-still-layout dataset: {split}/images/*.png + pose.json."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    still = os.path.join(root, "still")
+    for split, n in (("train", n_train), ("valid", n_valid), ("test", n_test)):
+        img_dir = os.path.join(still, split, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        oris, poss = generate_positions(rng, n, camera)
+        labels = []
+        for i in range(n):
+            fname = f"img{i:06d}.png"
+            frame = render_frame(oris[i], poss[i], camera, img_size, rng=rng)
+            cv2.imwrite(os.path.join(img_dir, fname), frame)
+            labels.append(
+                {"filename": fname, "q": oris[i].tolist(), "t": poss[i].tolist()}
+            )
+        with open(os.path.join(still, split, "pose.json"), "w") as f:
+            json.dump(labels, f)
+    return still
+
+
+def create_synthetic_video(
+    root: str,
+    n_frames: int = 50,
+    img_size: Tuple[int, int] = (1200, 1920),
+    seed: int = 7,
+    camera: Camera = DSPEED_CAMERA,
+    omega_deg: float = 2.0,
+) -> str:
+    """Write one constant-rate tumble sequence in D-SPEED video layout."""
+    import cv2
+
+    from spef_tpu.pose.rotations import euler2quat, multiply_quaternions
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    video = os.path.join(root, "video")
+    seq_dir = os.path.join(video, "seq_000", "images")
+    os.makedirs(seq_dir, exist_ok=True)
+
+    q, pos = generate_positions(rng, 1, camera)
+    q, pos = q[0], pos[0]
+    dq = np.asarray(euler2quat(jnp.asarray([omega_deg, 0.0, 0.0])))
+    labels = []
+    for i in range(n_frames):
+        fname = f"img{i:06d}.png"
+        frame = render_frame(q, pos, camera, img_size, rng=rng)
+        cv2.imwrite(os.path.join(seq_dir, fname), frame)
+        labels.append({"filename": fname, "q": q.tolist(), "t": pos.tolist()})
+        q = np.asarray(multiply_quaternions(jnp.asarray(dq), jnp.asarray(q)))
+    with open(os.path.join(video, "seq_000", "pose.json"), "w") as f:
+        json.dump(labels, f)
+    return video

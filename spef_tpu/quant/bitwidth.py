@@ -1,0 +1,79 @@
+"""bit_width.json load/save — reference-schema compatible.
+
+Counterpart of `/root/reference/src/modeling/model.py:16-67`
+(``load_bit_width`` / ``save_bit_width``): values are stringified python
+literals (tuples; the ``inverted_residual`` key is a list of stringified
+per-block lists) parsed with ``ast.literal_eval``, so bit-width files
+generated for the reference load unchanged.
+
+Schema (reference `backbone/mobilenet_v2.py:140-168`,
+`head/ursonet.py:42-47`):
+
+    {
+      "image": 8,
+      "first_conv": (w, a),
+      "last_conv": (w, a),
+      "shared_act": b,
+      "inverted_residual": [[(w1, a1), (w2, a2), (w3,)], ...],  # per block
+      "fully_connected": (w, b),   # optional, head
+      "pooling": b,                # optional, head
+    }
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import os
+import warnings
+from typing import Optional
+
+__all__ = ["load_bit_width", "save_bit_width", "default_bit_width"]
+
+
+def load_bit_width(path: str) -> Optional[dict]:
+    try:
+        with open(path) as f:
+            content = json.load(f)
+    except FileNotFoundError:
+        warnings.warn(
+            f"Bit width path {path} not found.\n"
+            "The default bit_width defined in the code of the model is used"
+        )
+        return None
+    for key, value in content.items():
+        if key == "inverted_residual":
+            content[key] = [ast.literal_eval(v) for v in value]
+        else:
+            content[key] = ast.literal_eval(str(value))
+    return content
+
+
+def save_bit_width(save_folder: str, bit_width: dict, name: str = "bit_width.json") -> str:
+    assert bit_width is not None
+    os.makedirs(save_folder, exist_ok=True)
+    str_bw = {
+        key: str(value) if key != "inverted_residual" else [str(line) for line in value]
+        for key, value in bit_width.items()
+    }
+    path = os.path.join(save_folder, name)
+    with open(path, "w") as f:
+        json.dump(str_bw, f, indent=4)
+    return path
+
+
+def default_bit_width(n_blocks: int = 17, w: int = 3, a: int = 3, shared: int = 4) -> dict:
+    """The reference's default mixed-precision recipe
+    (`backbone/mobilenet_v2.py:140-168`): 8-bit image, (w, a) everywhere,
+    first block's expand conv unquantized (None, None)."""
+    blocks = [[(w, a), (w, a), (w,)] for _ in range(n_blocks)]
+    blocks[0] = [(None, None), (w, a), (w,)]
+    return {
+        "image": 8,
+        "first_conv": (w, a),
+        "last_conv": (w, a),
+        "shared_act": shared,
+        "inverted_residual": blocks,
+        "fully_connected": (8, 8),
+        "pooling": 8,
+    }

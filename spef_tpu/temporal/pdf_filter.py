@@ -1,0 +1,135 @@
+"""Adaptive temporal PDF filter — stateless-core + lax.scan formulations.
+
+Counterpart of `/root/reference/src/temporal/pdf_compare.py:9-133`
+(``TemporalPDF``): exponential blending of consecutive soft-classification
+PDFs with a distance-adaptive weight
+
+    w = exp(-alpha * d(current, previous)),  clipped to [0, 1]
+    updated = w * n * current + (1 - w) * previous,  renormalized
+
+with distance metrics l2 / kl / js / hellinger / tv / wasserstein
+(`pdf_compare.py:32-78`).  Tuned constants from the reference
+(`src/temporal/inference.py:38-39`): ori (n=0.8, alpha=16.49), pos (n=0.5,
+alpha=48.64), both l2.
+
+Two APIs:
+  * :class:`TemporalPDF` — frame-at-a-time stateful object (streaming /
+    GUI use), matching the reference interface;
+  * :func:`scan_filter` — whole-sequence ``lax.scan`` with the first-frame
+    initialization expressed branchlessly, vmappable across sequences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["compute_distance", "TemporalPDF", "scan_filter", "ORI_FILTER_DEFAULTS", "POS_FILTER_DEFAULTS"]
+
+ORI_FILTER_DEFAULTS = dict(n=0.8, alpha=16.49, distance_metric="l2")
+POS_FILTER_DEFAULTS = dict(n=0.5, alpha=48.64, distance_metric="l2")
+
+_EPS = 1e-12
+
+
+def compute_distance(pdf1: jax.Array, pdf2: jax.Array, metric: str = "l2") -> jax.Array:
+    """Distance between two (already arbitrary-scaled) PDFs, last axis."""
+    pdf1 = pdf1 / jnp.sum(pdf1, axis=-1, keepdims=True)
+    pdf2 = pdf2 / jnp.sum(pdf2, axis=-1, keepdims=True)
+    if metric == "l2":
+        return jnp.linalg.norm(pdf1 - pdf2, axis=-1)
+    if metric == "kl":
+        p1 = pdf1 + _EPS
+        p2 = pdf2 + _EPS
+        return jnp.sum(p1 * jnp.log(p1 / p2), axis=-1)
+    if metric == "js":
+        m = 0.5 * (pdf1 + pdf2)
+        js = 0.5 * (
+            jnp.sum(pdf1 * jnp.log((pdf1 + _EPS) / (m + _EPS)), axis=-1)
+            + jnp.sum(pdf2 * jnp.log((pdf2 + _EPS) / (m + _EPS)), axis=-1)
+        )
+        return jnp.sqrt(jnp.maximum(js, 0.0))
+    if metric == "hellinger":
+        return jnp.sqrt(0.5 * jnp.sum((jnp.sqrt(pdf1) - jnp.sqrt(pdf2)) ** 2, axis=-1))
+    if metric == "tv":
+        return 0.5 * jnp.sum(jnp.abs(pdf1 - pdf2), axis=-1)
+    if metric == "wasserstein":
+        cdf1 = jnp.cumsum(pdf1, axis=-1)
+        cdf2 = jnp.cumsum(pdf2, axis=-1)
+        return jnp.sum(jnp.abs(cdf1 - cdf2), axis=-1) / pdf1.shape[-1]
+    raise ValueError(f"Unsupported distance metric: {metric}")
+
+
+def _update(prev_pdf, initialized, current_pdf, n, alpha, metric):
+    """Branchless single-frame update shared by both APIs.
+
+    Returns (new_prev, new_initialized, updated_pdf, distance).
+    """
+    current_pdf = current_pdf / jnp.sum(current_pdf, axis=-1, keepdims=True)
+    distance = compute_distance(current_pdf, jnp.where(initialized, prev_pdf, current_pdf), metric)
+    weight = jnp.clip(jnp.exp(-alpha * distance), 0.0, 1.0)
+    blended = weight[..., None] * n * current_pdf + (1.0 - weight[..., None]) * prev_pdf
+    blended = blended / jnp.sum(blended, axis=-1, keepdims=True)
+    updated = jnp.where(initialized, blended, current_pdf)
+    distance = jnp.where(initialized[..., 0], distance, 0.0)
+    return updated, jnp.ones_like(initialized), updated, distance
+
+
+@dataclasses.dataclass
+class TemporalPDF:
+    """Streaming (frame-at-a-time) interface, reference-compatible."""
+
+    n: float = 1.0
+    alpha: float = 1.0
+    distance_metric: str = "l2"
+    previous_pdf: Optional[jax.Array] = None
+
+    def reset(self) -> None:
+        self.previous_pdf = None
+
+    def compute_distance(self, pdf1, pdf2):
+        return compute_distance(jnp.asarray(pdf1), jnp.asarray(pdf2), self.distance_metric)
+
+    def compute_weight(self, distance):
+        return jnp.clip(jnp.exp(-self.alpha * jnp.asarray(distance)), 0.0, 1.0)
+
+    def update_pdf(self, current_pdf) -> Tuple[jax.Array, float]:
+        current_pdf = jnp.asarray(current_pdf)
+        current_pdf = current_pdf / jnp.sum(current_pdf, axis=-1, keepdims=True)
+        if self.previous_pdf is None:
+            self.previous_pdf = current_pdf
+            return current_pdf, 0.0
+        distance = self.compute_distance(current_pdf, self.previous_pdf)
+        weight = self.compute_weight(distance)
+        updated = weight * self.n * current_pdf + (1.0 - weight) * self.previous_pdf
+        updated = updated / jnp.sum(updated, axis=-1, keepdims=True)
+        self.previous_pdf = updated
+        return updated, float(distance)
+
+
+@partial(jax.jit, static_argnames=("n", "alpha", "metric"))
+def scan_filter(
+    pdfs: jax.Array, n: float, alpha: float, metric: str = "l2"
+) -> Tuple[jax.Array, jax.Array]:
+    """Filter a whole sequence with ``lax.scan``.
+
+    ``pdfs``: (T, n_bins) -> (filtered (T, n_bins), distances (T,)).
+    Numerically identical to running :class:`TemporalPDF` frame by frame
+    (tested), but compiled as one program; vmap over a leading sequence
+    axis for multi-sequence batches.
+    """
+
+    def body(carry, current):
+        prev_pdf, initialized = carry
+        new_prev, new_init, updated, distance = _update(
+            prev_pdf, initialized, current, n, alpha, metric
+        )
+        return (new_prev, new_init), (updated, distance)
+
+    init = (pdfs[0] / jnp.sum(pdfs[0]), jnp.zeros((1,), bool))
+    (_, _), (filtered, distances) = jax.lax.scan(body, init, pdfs)
+    return filtered, distances

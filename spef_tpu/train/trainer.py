@@ -1,0 +1,294 @@
+"""Training / evaluation engines.
+
+Counterparts of `/root/reference/src/tools/training.py:18-197` (``train``)
+and `src/tools/evaluation.py:35-102` (``evaluation``), restructured for TPU:
+
+  * the whole batch body — normalize, augment (+pose update), target
+    encode, forward, loss, backward, optimizer, BN clamp, metric
+    computation — is ONE jitted program; the host loop only feeds uint8
+    batches and accumulates scalars;
+  * best-model selection on validation loss, per-epoch records, scheduler
+    stepping and TensorBoard-compatible logging match the reference;
+  * the final partial batch is padded+masked, and metrics are weighted by
+    the validity mask (exact means, no padding bias).
+"""
+
+from __future__ import annotations
+
+import copy
+import sys
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spef_tpu.codec.facade import SPEUtils
+from spef_tpu.data.augment import train_augment
+from spef_tpu.data.camera import Camera
+from spef_tpu.pose.score import pose_errors
+from spef_tpu.train.loss import SPELoss
+from spef_tpu.train.optimizer import set_learning_rate
+from spef_tpu.train.step import TrainState, _apply_last_activation
+from spef_tpu.utils.metrics import RunningAverage, mad
+
+__all__ = ["Trainer", "evaluation"]
+
+_METRIC_KEYS = ("loss", "esa_score", "ori_score", "pos_score", "ori_error", "pos_error")
+
+
+def _masked_metrics(spe_utils: SPEUtils, pose, targets, mask) -> Dict[str, jax.Array]:
+    """Mask-weighted ESA metrics (exact over padded batches)."""
+    decoded = spe_utils.decode(pose)
+    e = pose_errors(targets["ori"], targets["pos"], decoded["ori"], decoded["pos"])
+    n = jnp.maximum(jnp.sum(mask), 1.0)
+    mean_ori = jnp.sum(e["ori_error"] * mask) / n
+    mean_norm_pos = jnp.sum(e["norm_pos_error"] * mask) / n
+    return {
+        "esa_score": mean_ori + mean_norm_pos,
+        "ori_score": mean_ori,
+        "pos_score": mean_norm_pos,
+        "ori_error": jnp.rad2deg(mean_ori),
+        "pos_error": jnp.sum(e["pos_error"] * mask) / n,
+        # Per-sample errors for std/MAD aggregation on host.
+        "_ori_err_deg": jnp.rad2deg(e["ori_error"]),
+        "_pos_err": e["pos_error"],
+    }
+
+
+class Trainer:
+    """End-to-end trainer for a (model, codec, loss) configuration."""
+
+    def __init__(
+        self,
+        spe_utils: SPEUtils,
+        spe_loss: SPELoss,
+        camera: Optional[Camera] = None,
+        rot_augment: bool = False,
+        other_augment: bool = False,
+        clip_batchnorm: bool = False,
+        seed: int = 1001,
+    ):
+        self.spe_utils = spe_utils
+        self.spe_loss = spe_loss
+        self.camera = camera or spe_utils.camera
+        self.rot_augment = rot_augment
+        self.other_augment = other_augment
+        self.clip_batchnorm = clip_batchnorm
+        self.seed = seed
+        self._train_step = jax.jit(self._build_train_step(), donate_argnums=(0,))
+        self._eval_step = jax.jit(self._build_eval_step())
+
+    # ------------------------------------------------------------------
+    def _encode_targets(self, ori, pos):
+        t = {"ori": ori, "pos": pos}
+        if self.spe_utils.ori_mode == "classification":
+            t["ori_soft"] = self.spe_utils.orientation.encode(ori)
+        if self.spe_utils.pos_mode == "classification":
+            t["pos_soft"] = self.spe_utils.position.encode(pos)
+        if "keypoints" in (self.spe_utils.ori_mode, self.spe_utils.pos_mode):
+            t["keypoints"] = self.spe_utils.keypoints.create_keypoints2d(ori, pos)
+        return t
+
+    def _build_train_step(self):
+        spe_utils, spe_loss = self.spe_utils, self.spe_loss
+
+        def step(state: TrainState, images_u8, ori, pos, mask, rng):
+            import optax
+
+            images = images_u8.astype(jnp.float32) / 255.0
+            k_aug, k_drop = jax.random.split(rng)
+            if self.rot_augment or self.other_augment:
+                images, ori, pos = train_augment(
+                    k_aug, images, ori, pos, self.camera,
+                    self.rot_augment, self.other_augment,
+                )
+            targets = self._encode_targets(ori, pos)
+
+            def _loss(params):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                pred, new_state = state.apply_fn(
+                    variables, images, True, rngs={"dropout": k_drop},
+                    mutable=["batch_stats"],
+                )
+                pose = _apply_last_activation(spe_utils, pred)
+                loss = spe_loss.compute_loss(pose, targets)
+                return loss, (new_state.get("batch_stats", state.batch_stats), pose)
+
+            (loss, (new_bn, pose)), grads = jax.value_and_grad(_loss, has_aux=True)(state.params)
+            updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            if self.clip_batchnorm:
+                def clamp(path, p):
+                    names = [getattr(k, "key", "") for k in path]
+                    if "bn" in names and names[-1] == "scale":
+                        return jnp.clip(p, 0.0, 1.0)
+                    return p
+
+                new_params = jax.tree_util.tree_map_with_path(clamp, new_params)
+
+            state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bn, opt_state=new_opt)
+            metrics = {"loss": loss}
+            if "keypoints" not in (spe_utils.ori_mode, spe_utils.pos_mode):
+                metrics.update(_masked_metrics(spe_utils, pose, targets, mask))
+            return state, metrics
+
+        return step
+
+    def _build_eval_step(self):
+        spe_utils, spe_loss = self.spe_utils, self.spe_loss
+
+        def step(state: TrainState, images_u8, ori, pos, mask):
+            images = images_u8.astype(jnp.float32) / 255.0
+            targets = self._encode_targets(ori, pos)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            pred = state.apply_fn(variables, images, False)
+            pose = _apply_last_activation(spe_utils, pred)
+            metrics = {"loss": spe_loss.compute_loss(pose, targets)}
+            metrics.update(_masked_metrics(spe_utils, pose, targets, mask))
+            return metrics
+
+        return step
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        data: Dict[str, "BatchLoader"],
+        n_epochs: int,
+        scheduler=None,
+        split: Tuple[str, ...] = ("train", "valid"),
+        writer=None,
+        verbose: bool = True,
+    ):
+        """Epoch x phase x batch loop (reference `training.py:86-197`)."""
+        assert "train" in split and "valid" in split
+        best_loss = 1e6
+        best_params = None
+        best_epoch = 1
+        rec_loss = {x: [] for x in split}
+        rec_score = {x: {"ori": [], "pos": [], "esa": []} for x in split}
+        rec_error = {x: {"ori": [], "pos": []} for x in split}
+
+        rng = jax.random.PRNGKey(self.seed)
+
+        for epoch in range(1, n_epochs + 1):
+            for phase in split:
+                running = RunningAverage(keys=_METRIC_KEYS)
+                for batch in data[phase]:
+                    n_valid = int(batch["mask"].sum())
+                    if phase == "train":
+                        rng, step_rng = jax.random.split(rng)
+                        state, metrics = self._train_step(
+                            state, jnp.asarray(batch["images"]), jnp.asarray(batch["ori"]),
+                            jnp.asarray(batch["pos"]), jnp.asarray(batch["mask"]), step_rng,
+                        )
+                    else:
+                        metrics = self._eval_step(
+                            state, jnp.asarray(batch["images"]), jnp.asarray(batch["ori"]),
+                            jnp.asarray(batch["pos"]), jnp.asarray(batch["mask"]),
+                        )
+                    host = {k: float(v) for k, v in metrics.items() if not k.startswith("_")}
+                    if not np.isfinite(host["loss"]):
+                        raise ValueError(f"Non-finite loss at epoch {epoch} ({phase})")
+                    running.update(host, n_valid)
+
+                rec_loss[phase].append(running.get("loss"))
+                rec_score[phase]["ori"].append(running.get("ori_score"))
+                rec_score[phase]["pos"].append(running.get("pos_score"))
+                rec_score[phase]["esa"].append(running.get("esa_score"))
+                rec_error[phase]["ori"].append(running.get("ori_error"))
+                rec_error[phase]["pos"].append(running.get("pos_error"))
+
+                running_loss = running.get("loss")
+                if verbose:
+                    print(
+                        f"epoch {epoch:3d} [{phase:6s}] loss={running_loss:.4f} "
+                        f"esa={running.get('esa_score'):.4f} "
+                        f"ori_err={running.get('ori_error'):.2f}deg "
+                        f"pos_err={running.get('pos_error'):.3f}m",
+                        file=sys.stdout,
+                    )
+
+                if phase == "train" and scheduler is not None:
+                    new_lr = scheduler.step(epoch, running_loss)
+                    state = state.replace(opt_state=set_learning_rate(state.opt_state, new_lr))
+                elif phase == "valid" and running_loss < best_loss:
+                    best_params = jax.tree_util.tree_map(np.asarray, (state.params, state.batch_stats))
+                    best_loss = running_loss
+                    best_epoch = epoch
+
+                if writer is not None:
+                    for key in _METRIC_KEYS:
+                        writer.add_scalar(f"{key}/{phase}", running.get(key), epoch)
+
+        if best_params is not None:
+            params, batch_stats = best_params
+            state = state.replace(params=params, batch_stats=batch_stats)
+        if verbose:
+            print(f"Best epoch: {best_epoch}")
+        return state, rec_loss, rec_score, rec_error
+
+
+def evaluation(
+    engine,
+    data: Dict[str, "BatchLoader"],
+    spe_utils: SPEUtils,
+    split: Tuple[str, ...] = ("valid",),
+) -> Tuple[Dict, Dict]:
+    """Engine-agnostic evaluation (reference `evaluation.py:35-102`).
+
+    ``engine`` exposes ``predict(images) -> (pose, latency_ms)`` (duck-typed
+    exactly like the reference's per-target engines).  Returns
+    (rec_score, rec_error) with std + MAD aggregation.
+    """
+    rec_score = {x: {"ori": [], "pos": [], "esa": []} for x in split}
+    rec_error = {
+        x: {"ori": [], "pos": [], "ori_std": [], "pos_std": [], "ori_mad": [], "pos_mad": []}
+        for x in split
+    }
+    latency = {x: [] for x in split}
+
+    for phase in split:
+        errors = {"ori": [], "pos": []}
+        running = RunningAverage(keys=("esa_score", "ori_score", "pos_score", "ori_error", "pos_error"))
+        for batch in data[phase]:
+            pose, lat_ms = engine.predict(batch["images"])
+            latency[phase].append(lat_ms)
+            n_valid = int(batch["mask"].sum())
+            ori_t = batch["ori"][:n_valid]
+            pos_t = batch["pos"][:n_valid]
+            ori_p = np.asarray(pose["ori"])[:n_valid]
+            pos_p = np.asarray(pose["pos"])[:n_valid]
+
+            e = pose_errors(jnp.asarray(ori_t), jnp.asarray(pos_t),
+                            jnp.asarray(ori_p), jnp.asarray(pos_p))
+            if int(e["invalid"]) > 0:
+                raise ValueError("Intermediate sum issue due to error in model prediction")
+            ori_err = np.asarray(e["ori_error"])
+            pos_err = np.asarray(e["pos_error"])
+            norm_pos = np.asarray(e["norm_pos_error"])
+            metrics = {
+                "esa_score": float(np.mean(ori_err) + np.mean(norm_pos)),
+                "ori_score": float(np.mean(ori_err)),
+                "pos_score": float(np.mean(norm_pos)),
+                "ori_error": float(np.rad2deg(np.mean(ori_err))),
+                "pos_error": float(np.mean(pos_err)),
+            }
+            running.update(metrics, n_valid)
+            errors["ori"].extend(np.rad2deg(ori_err).tolist())
+            errors["pos"].extend(pos_err.tolist())
+
+        rec_score[phase]["ori"].append(running.get("ori_score"))
+        rec_score[phase]["pos"].append(running.get("pos_score"))
+        rec_score[phase]["esa"].append(running.get("esa_score"))
+        rec_error[phase]["ori"].append(running.get("ori_error"))
+        rec_error[phase]["pos"].append(running.get("pos_error"))
+        rec_error[phase]["ori_std"].append(float(np.std(errors["ori"])))
+        rec_error[phase]["pos_std"].append(float(np.std(errors["pos"])))
+        rec_error[phase]["ori_mad"].append(mad(errors["ori"]))
+        rec_error[phase]["pos_mad"].append(mad(errors["pos"]))
+
+    return rec_score, rec_error

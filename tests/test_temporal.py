@@ -1,0 +1,138 @@
+"""Tests for temporal filtering: PDF filter golden behavior, scan-vs-streaming
+equivalence, quaternion continuity, alternative filters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spef_tpu.temporal import filters
+from spef_tpu.temporal.inference import quaternion_continuity_scan
+from spef_tpu.temporal.pdf_filter import TemporalPDF, compute_distance, scan_filter
+
+
+def random_pdfs(t=20, n=50, seed=0):
+    rng = np.random.RandomState(seed)
+    p = rng.rand(t, n).astype(np.float32) + 0.01
+    return p / p.sum(-1, keepdims=True)
+
+
+class TestTemporalPDF:
+    def test_first_frame_passthrough(self):
+        f = TemporalPDF(n=0.8, alpha=16.49)
+        pdf = random_pdfs(1)[0]
+        out, dist = f.update_pdf(pdf)
+        np.testing.assert_allclose(np.asarray(out), pdf, atol=1e-6)
+        assert dist == 0.0
+
+    def test_reference_update_formula(self):
+        """Golden parity with the reference numpy formula (`pdf_compare.py:94-133`)."""
+        f = TemporalPDF(n=0.8, alpha=16.49, distance_metric="l2")
+        pdfs = random_pdfs(3, seed=1)
+        f.update_pdf(pdfs[0])
+        out, dist = f.update_pdf(pdfs[1])
+
+        prev = pdfs[0]
+        cur = pdfs[1]
+        d_ref = np.linalg.norm(cur - prev)
+        w = np.clip(np.exp(-16.49 * d_ref), 0, 1)
+        expected = w * 0.8 * cur + (1 - w) * prev
+        expected = expected / expected.sum()
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+        assert dist == pytest.approx(d_ref, abs=1e-5)
+
+    @pytest.mark.parametrize("metric", ["l2", "kl", "js", "hellinger", "tv", "wasserstein"])
+    def test_all_distance_metrics(self, metric):
+        p = random_pdfs(2, seed=2)
+        d = float(compute_distance(jnp.asarray(p[0]), jnp.asarray(p[1]), metric))
+        assert d > 0
+        d_self = float(compute_distance(jnp.asarray(p[0]), jnp.asarray(p[0]), metric))
+        assert d_self == pytest.approx(0.0, abs=1e-5)
+
+    def test_scan_matches_streaming(self):
+        """lax.scan whole-sequence filter == frame-at-a-time streaming filter."""
+        pdfs = random_pdfs(30, seed=3)
+        filt_scan, dist_scan = scan_filter(jnp.asarray(pdfs), 0.8, 16.49, "l2")
+
+        f = TemporalPDF(n=0.8, alpha=16.49, distance_metric="l2")
+        stream_out = []
+        stream_dist = []
+        for t in range(pdfs.shape[0]):
+            out, d = f.update_pdf(pdfs[t])
+            stream_out.append(np.asarray(out))
+            stream_dist.append(d)
+
+        np.testing.assert_allclose(np.asarray(filt_scan), np.stack(stream_out), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dist_scan), np.asarray(stream_dist), atol=1e-5)
+
+    def test_filter_reduces_jitter(self):
+        """Filtered trajectory varies less frame-to-frame than the input."""
+        base = random_pdfs(1, 50, seed=4)[0]
+        rng = np.random.RandomState(5)
+        seq = np.stack([base + rng.rand(50) * 0.01 for _ in range(40)])
+        seq = (seq / seq.sum(-1, keepdims=True)).astype(np.float32)
+        filt, _ = scan_filter(jnp.asarray(seq), 0.5, 48.64, "l2")
+        tv_in = np.abs(np.diff(seq, axis=0)).sum()
+        tv_out = np.abs(np.diff(np.asarray(filt), axis=0)).sum()
+        assert tv_out < tv_in
+
+
+class TestQuaternionContinuity:
+    def test_sign_flips_fixed(self):
+        q = np.array([[1, 0, 0, 0], [-0.99, -0.1, 0, 0], [0.98, 0.15, 0, 0]], np.float32)
+        q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        fixed = np.asarray(quaternion_continuity_scan(jnp.asarray(q)))
+        # Consecutive dots must all be positive after fixing.
+        dots = np.sum(fixed[1:] * fixed[:-1], axis=-1)
+        assert (dots > 0).all()
+
+    def test_outlier_gate_keeps_pole(self):
+        """An orthogonal outlier (|dot|<0.5) must not flip the pole for
+        subsequent frames (reference `inference.py:140-142`)."""
+        q_a = np.array([1, 0, 0, 0], np.float32)
+        outlier = np.array([0, 1, 0, 0], np.float32)  # 180 deg away, dot=0
+        q_c = np.array([-0.99, 0.1, 0, 0], np.float32)
+        q_c /= np.linalg.norm(q_c)
+        seq = jnp.asarray(np.stack([q_a, outlier, q_c]))
+        fixed = np.asarray(quaternion_continuity_scan(seq))
+        # Third frame is compared against q_a (outlier did not update the
+        # pole), so dot(q_a, q_c) < 0 -> flipped to +w hemisphere.
+        assert fixed[2][0] > 0
+
+
+class TestAlternativeFilters:
+    def test_fir_converges_to_constant(self):
+        f = filters.FIRFilter(numtaps=9, cutoff=0.2, dim=3)
+        x = np.array([1.0, 2.0, 3.0])
+        out = x
+        for _ in range(30):
+            out = f.update(x)
+        np.testing.assert_allclose(out, x, atol=1e-6)
+
+    def test_rc_filter_smooths(self):
+        f = filters.RCFilter(alpha=0.5)
+        f.update(np.zeros(3))
+        out = f.update(np.ones(3))
+        np.testing.assert_allclose(out, 0.5 * np.ones(3))
+
+    def test_quaternion_kalman_handles_sign_flip(self):
+        f = filters.QuaternionKalmanFilter()
+        q = np.array([1.0, 0, 0, 0])
+        f.update(q)
+        out = f.update(-q)  # same rotation, flipped sign
+        assert out[0] > 0.9  # stays in the original hemisphere
+
+    def test_position_kalman_tracks_constant_velocity(self):
+        f = filters.KalmanFilterPosSimple(dt=1.0)
+        est = None
+        for t in range(50):
+            est = f.update(np.array([0.0, 0.0, 10.0 + 0.1 * t]))
+        assert abs(est[2] - (10.0 + 0.1 * 49)) < 0.2
+
+    def test_moving_averages(self):
+        ma = filters.MovingAverage(window=2)
+        ma.update(np.zeros(2))
+        np.testing.assert_allclose(ma.update(np.ones(2)), [0.5, 0.5])
+        ema = filters.ExponentialMovingAverage(alpha=0.25)
+        ema.update(np.zeros(2))
+        np.testing.assert_allclose(ema.update(np.ones(2)), [0.25, 0.25])

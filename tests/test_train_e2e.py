@@ -1,0 +1,101 @@
+"""End-to-end training/eval tests on a synthetic wireframe dataset."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spef_tpu.codec.facade import SPEUtils
+from spef_tpu.data.camera import DSPEED_CAMERA
+from spef_tpu.data.dataset import load_dataset
+from spef_tpu.data.synthetic import create_synthetic_dataset
+from spef_tpu.engine import SPEJax
+from spef_tpu.models.wrapper import import_model
+from spef_tpu.train.loss import SPELoss
+from spef_tpu.train.optimizer import import_optimizer
+from spef_tpu.train.step import create_train_state
+from spef_tpu.train.trainer import Trainer, evaluation
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dspeed")
+    # Tiny frames for CPU test speed; layout identical to D-SPEED still.
+    return create_synthetic_dataset(str(root), n_train=12, n_valid=6, n_test=6,
+                                    img_size=(120, 192))
+
+
+@pytest.fixture(scope="module")
+def spe_utils():
+    return SPEUtils.create(
+        DSPEED_CAMERA, ori_mode="classification", n_ori_bins_per_dim=6,
+        pos_mode="regression", use_keypoints=False,
+    )
+
+
+def test_loader_shapes_and_masking(dataset):
+    data, split = load_dataset(dataset, batch_size=8, img_size=(48, 64))
+    assert split["train"] == ("train", "valid", "test")
+    batches = list(data["valid"])  # 6 samples, batch 8 -> one padded batch
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["images"].shape == (8, 48, 64, 3) and b["images"].dtype == np.uint8
+    assert b["ori"].shape == (8, 4) and b["pos"].shape == (8, 3)
+    np.testing.assert_array_equal(b["mask"], [1, 1, 1, 1, 1, 1, 0, 0])
+
+
+def test_train_reduces_loss_and_eval_runs(dataset, spe_utils):
+    data, split = load_dataset(dataset, batch_size=6, img_size=(48, 64))
+    model = import_model(
+        backbone_name="small", head_name="ursonet", img_size=(48, 64),
+        ori_mode="classification", n_ori_bins=spe_utils.orientation.n_bins,
+        pos_mode="regression",
+    )
+    tx, sched = import_optimizer(learning_rate=0.05, milestones=(50,))
+    state = create_train_state(model, tx)
+    loss = SPELoss("classification", "regression", beta=1.0, norm_distance=True)
+    trainer = Trainer(spe_utils, loss)
+
+    state, rec_loss, rec_score, rec_error = trainer.fit(
+        state, data, n_epochs=3, scheduler=sched, split=("train", "valid"), verbose=False
+    )
+    assert len(rec_loss["train"]) == 3
+    assert rec_loss["train"][-1] < rec_loss["train"][0], rec_loss
+    assert np.isfinite(rec_score["valid"]["esa"][-1])
+
+    # Evaluation through the engine surface.
+    model.variables = {"params": state.params, "batch_stats": state.batch_stats}
+    engine = SPEJax(model, spe_utils)
+    rec_score2, rec_error2 = evaluation(engine, data, spe_utils, split=("valid",))
+    assert np.isfinite(rec_score2["valid"]["esa"][0])
+    assert rec_error2["valid"]["ori_std"][0] >= 0
+
+
+def test_augmented_training_step_runs(dataset, spe_utils):
+    data, _ = load_dataset(dataset, batch_size=4, img_size=(48, 64))
+    model = import_model(
+        backbone_name="small", head_name="ursonet", img_size=(48, 64),
+        ori_mode="classification", n_ori_bins=spe_utils.orientation.n_bins,
+        pos_mode="regression",
+    )
+    tx, _ = import_optimizer(learning_rate=0.01)
+    state = create_train_state(model, tx)
+    loss = SPELoss("classification", "regression")
+    trainer = Trainer(spe_utils, loss, rot_augment=True, other_augment=True,
+                      clip_batchnorm=True)
+    batch = next(iter(data["train"]))
+    state2, metrics = trainer._train_step(
+        state, jnp.asarray(batch["images"]), jnp.asarray(batch["ori"]),
+        jnp.asarray(batch["pos"]), jnp.asarray(batch["mask"]), jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    # BN clamp applied: every bn scale within [0, 1].
+    def check(path, p):
+        names = [getattr(k, "key", "") for k in path]
+        if "bn" in names and names[-1] == "scale":
+            assert float(jnp.max(p)) <= 1.0 + 1e-6
+        return p
+
+    jax.tree_util.tree_map_with_path(check, state2.params)
