@@ -1,0 +1,161 @@
+"""Int8 inference executor — the TPU-native quantized deployment path.
+
+Executes the layer graph produced by :mod:`spef_tpu.quant.convert`:
+
+  * 1x1 convolutions (expansion / projection / head conv — the FLOPs bulk
+    of MobileNet-V2) run as **int8 x int8 -> int32 matmuls on the MXU**
+    (``dot_general`` with ``preferred_element_type=int32``), with the
+    dequant-multiply + bias + ReLU + requantize epilogue fused by XLA;
+  * depthwise 3x3 and the stride-2 stem (bandwidth-bound, VPU work) run in
+    bfloat16 on the *dequantized integer* weights — numerically identical
+    quantization grid, no MXU benefit to chase;
+  * activations travel on their quantization grid; each int8 consumer
+    re-derives the integer tensor exactly (round(x / step)).
+
+This single path subsumes the reference's three deployment backends
+(FINN dataflow FPGA / TVM ARM / TensorRT engines — SURVEY.md §2.2), and
+is bit-comparable to the QAT fake-quant network by construction (see
+convert.py docstring).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["int8_forward", "build_int8_forward"]
+
+
+def _to_int8(x: jax.Array, step: float) -> jax.Array:
+    """Float-on-grid -> int8 (exact for in-range grid values)."""
+    return jnp.round(x / step).astype(jnp.int8)
+
+
+def _matmul_1x1(x: jax.Array, layer: Dict[str, Any], in_step, relu: bool) -> jax.Array:
+    """1x1 conv: (B,H,W,Cin) x (1,1,Cin,Cout) -> float (B,H,W,Cout).
+
+    ``in_step`` is the input quantization grid; when known the matmul runs
+    int8 x int8 -> int32 on the MXU.  ``in_step=None`` (rare: non-grid float
+    input) falls back to a bf16 matmul on dequantized weights.
+    """
+    b, h, w, cin = x.shape
+    w_int = layer["w_int"].reshape(layer["w_int"].shape[-2], layer["w_int"].shape[-1])
+    if in_step is not None:
+        x_int = _to_int8(x, in_step).reshape(-1, cin)
+        acc = jax.lax.dot_general(
+            x_int, w_int, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        y = acc.astype(jnp.float32) * (in_step * layer["mult_core"]) + layer["bias"]
+    else:
+        acc = jax.lax.dot_general(
+            x.reshape(-1, cin).astype(jnp.bfloat16), w_int.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        y = acc * layer["mult_core"] + layer["bias"]
+    y = y.reshape(b, h, w, -1)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y
+
+
+def _conv_f32(x: jax.Array, layer: Dict[str, Any], relu: bool) -> jax.Array:
+    """Depthwise / spatial conv on integer-valued weights (bf16 compute).
+
+    Input is real-valued (already on its grid); the per-out-channel
+    ``mult_core`` dequantizes the integer weights in the epilogue.
+    """
+    w = layer["w_int"].astype(jnp.bfloat16)
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16),
+        w,
+        (layer["stride"], layer["stride"]),
+        [(pad, pad), (pad, pad)],
+        dimension_numbers=dn,
+        feature_group_count=layer["groups"],
+        preferred_element_type=jnp.float32,
+    )
+    y = y * layer["mult_core"] + layer["bias"]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y
+
+
+def _requant(y: jax.Array, step: float, qmax: float, qmin: float = 0.0) -> jax.Array:
+    """Snap float activations to a quantization grid (stay in float)."""
+    return jnp.clip(jnp.round(y / step), qmin, qmax) * step
+
+
+def int8_forward(graph: Dict[str, Any], images: jax.Array):
+    """Full quantized forward: uint8/float NHWC images -> (ori, pos) logits."""
+    if images.dtype == jnp.uint8:
+        x = images.astype(jnp.float32) / 255.0
+    else:
+        levels = 2.0 ** graph["image_bits"] - 1.0
+        x = jnp.round(jnp.clip(images, 0.0, 1.0) * levels) / levels
+
+    # Stem 3x3 s2 (spatial conv, bf16 on integer-grid input).
+    stem = graph["stem"]
+    y = _conv_f32(x, stem, relu=True)
+    y = _requant(y, stem["act_step"], stem["act_qmax"])
+    step = stem["act_step"]
+
+    for blk in graph["blocks"]:
+        if "shared_step" in blk and (blk["input_quant"] or blk["use_residual"]):
+            y = _requant(y, blk["shared_step"], blk["shared_qmax"], -blk["shared_qmax"] - 1)
+            step = blk["shared_step"]
+        residual = y
+
+        h = y
+        h_step = step
+        if "expand" in blk:
+            e = blk["expand"]
+            h = _matmul_1x1(h, e, h_step, relu=True)
+            h = _requant(h, e["act_step"], e["act_qmax"])
+            h_step = e["act_step"]
+        d = blk["depthwise"]
+        h = _conv_f32(h, d, relu=True)  # input already float on its grid
+        h = _requant(h, d["act_step"], d["act_qmax"])
+        h_step = d["act_step"]
+        p = blk["project"]
+        h = _matmul_1x1(h, p, h_step, relu=False)  # linear projection, float out
+
+        if blk["use_residual"]:
+            h = _requant(h, blk["shared_step"], blk["shared_qmax"], -blk["shared_qmax"] - 1)
+            y = h + residual
+            step = blk["shared_step"]
+        else:
+            y = h
+            step = None  # projection output is float (next block requantizes)
+
+    fs = graph["final_shared"]
+    y = _requant(y, fs["step"], fs["qmax"], -fs["qmax"] - 1)
+    hc = graph["head_conv"]
+    y = _matmul_1x1(y, hc, fs["step"], relu=True)
+    y = _requant(y, hc["act_step"], hc["act_qmax"])
+
+    # Head: quantized avg pool + int8 FC branches.
+    head = graph["head"]
+    pooled = jnp.mean(y, axis=(1, 2))
+    pooled = _requant(pooled, head["pool_step"], head["pool_qmax"], -head["pool_qmax"] - 1)
+    p_int = _to_int8(pooled, head["pool_step"])
+
+    def fc(x_int, w_int, scale, bias):
+        acc = jax.lax.dot_general(
+            x_int, w_int, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return acc.astype(jnp.float32) * (head["pool_step"] * scale) + bias
+
+    ori = fc(p_int, head["ori_w_int"], head["ori_scale"], head["ori_bias"])
+    pos = fc(p_int, head["pos_w_int"], head["pos_scale"], head["pos_bias"])
+    return ori, pos
+
+
+def build_int8_forward(graph: Dict[str, Any]):
+    """Close over the graph -> jittable ``images -> (ori, pos)``."""
+    return partial(int8_forward, graph)

@@ -1,0 +1,80 @@
+"""Tests for QAT -> int8 conversion and the int8 executor, incl. the
+bit-comparability parity harness (the reference's predict_and_compare
+methodology, `src/finn/spe_finn.py:92-151`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spef_tpu.models.wrapper import import_model
+from spef_tpu.quant.bitwidth import default_bit_width
+from spef_tpu.quant.convert import convert_qat_params
+from spef_tpu.quant.int8_model import build_int8_forward
+from spef_tpu.quant.parity import compare_tensors, predict_and_compare
+
+
+@pytest.fixture(scope="module")
+def qat_model():
+    bw = default_bit_width(n_blocks=2, w=4, a=4, shared=4)
+    # Make the first block fully quantized for a clean conversion test.
+    bw["inverted_residual"][0] = [(4, 4), (4, 4), (4,)]
+    model = import_model(
+        backbone_name="small_mobile_q", head_name="ursonet_q", img_size=(48, 64),
+        bit_width=bw, ori_mode="classification", n_ori_bins=64, pos_mode="regression",
+        seed=3,
+    )
+    return model
+
+
+def _rand_images(shape, seed=0):
+    return jnp.asarray(
+        np.random.RandomState(seed).randint(0, 256, size=shape, dtype=np.uint8)
+    )
+
+
+class TestConversion:
+    def test_graph_structure(self, qat_model):
+        graph = convert_qat_params(qat_model)
+        assert graph["stem"]["w_int"].dtype == jnp.int8
+        assert len(graph["blocks"]) == 2
+        assert "expand" in graph["blocks"][0]
+        assert graph["head"]["ori_w_int"].shape == (64, 64)
+
+    def test_weight_int_range(self, qat_model):
+        graph = convert_qat_params(qat_model)
+        w = np.asarray(graph["blocks"][0]["expand"]["w_int"])
+        # 4-bit narrow range: ints within [-7, 7].
+        assert w.min() >= -7 and w.max() <= 7
+
+    def test_int8_forward_runs(self, qat_model):
+        graph = convert_qat_params(qat_model)
+        fwd = jax.jit(build_int8_forward(graph))
+        ori, pos = fwd(_rand_images((2, 48, 64, 3)))
+        assert ori.shape == (2, 64) and pos.shape == (2, 3)
+        assert np.isfinite(np.asarray(ori)).all()
+
+
+class TestParity:
+    def test_int8_matches_qat_fake_quant(self, qat_model):
+        """The int8 executor must reproduce the QAT fake-quant network
+        closely (same quantization grids; BN folded exactly)."""
+        graph = convert_qat_params(qat_model)
+        int8_fwd = jax.jit(build_int8_forward(graph))
+
+        def qat_fwd(images_f):
+            return qat_model.apply(images_f, False)
+
+        images = _rand_images((4, 48, 64, 3), seed=1)
+        report = predict_and_compare(qat_fwd, int8_fwd, images)
+        assert report["ori_raw"]["cosine"] > 0.999, report
+        assert report["pos_raw"]["cosine"] > 0.999, report
+        # Relative MSE tiny vs signal power.
+        ori_power = float(np.mean(np.asarray(qat_fwd(images.astype(jnp.float32) / 255)[0]) ** 2))
+        assert report["ori_raw"]["mse"] < 1e-4 * max(ori_power, 1e-6), report
+
+    def test_compare_tensors_metrics(self):
+        a = np.array([1.0, 0.0, 2.0])
+        m = compare_tensors(a, a)
+        assert m["mse"] == 0.0 and m["cosine"] == pytest.approx(1.0)
+        assert m["close_ratio"] == 1.0 and m["zero_pattern"] == 1.0
