@@ -162,19 +162,36 @@ class Trainer:
         split: Tuple[str, ...] = ("train", "valid"),
         writer=None,
         verbose: bool = True,
+        checkpoint_manager=None,
+        resume: bool = False,
     ):
-        """Epoch x phase x batch loop (reference `training.py:86-197`)."""
+        """Epoch x phase x batch loop (reference `training.py:86-197`).
+
+        With ``checkpoint_manager`` the full state is saved every epoch;
+        ``resume=True`` restarts from the latest checkpoint (a capability
+        the reference lacks — it is save-only, SURVEY.md §5).
+        """
         assert "train" in split and "valid" in split
         best_loss = 1e6
         best_params = None
         best_epoch = 1
+        start_epoch = 1
         rec_loss = {x: [] for x in split}
         rec_score = {x: {"ori": [], "pos": [], "esa": []} for x in split}
         rec_error = {x: {"ori": [], "pos": []} for x in split}
 
         rng = jax.random.PRNGKey(self.seed)
 
-        for epoch in range(1, n_epochs + 1):
+        if resume and checkpoint_manager is not None and checkpoint_manager.latest_epoch():
+            state, meta = checkpoint_manager.restore(state)
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            best_loss = float(meta.get("best_loss", best_loss))
+            best_epoch = int(meta.get("best_epoch", best_epoch))
+            rng = jax.random.PRNGKey(self.seed + start_epoch * 7919)
+            if verbose:
+                print(f"Resumed from epoch {start_epoch - 1} (best_loss={best_loss:.4f})")
+
+        for epoch in range(start_epoch, n_epochs + 1):
             for phase in split:
                 running = RunningAverage(keys=_METRIC_KEYS)
                 for batch in data[phase]:
@@ -223,6 +240,12 @@ class Trainer:
                 if writer is not None:
                     for key in _METRIC_KEYS:
                         writer.add_scalar(f"{key}/{phase}", running.get(key), epoch)
+
+            if checkpoint_manager is not None:
+                checkpoint_manager.save(
+                    epoch, state,
+                    meta={"epoch": epoch, "best_loss": best_loss, "best_epoch": best_epoch},
+                )
 
         if best_params is not None:
             params, batch_stats = best_params
