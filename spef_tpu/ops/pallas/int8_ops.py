@@ -1,0 +1,204 @@
+"""Pallas TPU kernels for the int8 inference path.
+
+The hot ops of the quantized MobileNet pipeline, fused so activations live
+in HBM as int8 (half the bf16 traffic) and matmuls hit the MXU in int8:
+
+  * :func:`int8_matmul_requant` — X(int8) @ W(int8) -> int32 on the MXU,
+    with the whole epilogue fused in-kernel: per-channel dequant multiplier,
+    bias, optional ReLU, requantization to the output grid, optional
+    residual add on a shared grid; int8 out.  Covers every 1x1 convolution
+    (expansion / projection / head conv) and the FC head.
+  * :func:`int8_depthwise3x3` — 3x3 depthwise conv on int8 activations,
+    computed per (batch, channel-tile) block entirely in VMEM with shifted
+    multiply-accumulate on the VPU; fused requant epilogue, int8 out.
+
+These are the TPU-native counterparts of FINN's folded HLS dataflow kernels
+(`/root/reference/src/finn/folding.py`) / TVM's Ansor-tuned ARM kernels —
+the "native backend" of this framework (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["int8_matmul_requant", "int8_depthwise3x3"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Fused int8 matmul + requant (1x1 convs, FC)
+# ---------------------------------------------------------------------------
+
+
+def _mm_kernel(x_ref, w_ref, mult_ref, bias_ref, out_ref, *, relu, out_inv_step,
+               out_qmax, out_qmin):
+    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * mult_ref[:] + bias_ref[:]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    q = jnp.clip(jnp.round(y * out_inv_step), out_qmin, out_qmax)
+    out_ref[:] = q.astype(jnp.int8)
+
+
+def _mm_res_kernel(x_ref, w_ref, mult_ref, bias_ref, res_ref, out_ref, *, out_inv_step,
+                   out_qmax, out_qmin):
+    """Projection + shared-grid requant + residual add (both int8 on the
+    shared grid); sum emitted as int8 (fits for shared widths <= 6)."""
+    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * mult_ref[:] + bias_ref[:]
+    q = jnp.clip(jnp.round(y * out_inv_step), out_qmin, out_qmax).astype(jnp.int32)
+    s = q + res_ref[:].astype(jnp.int32)
+    out_ref[:] = jnp.clip(s, -128, 127).astype(jnp.int8)
+
+
+def _mm_f32out_kernel(x_ref, w_ref, mult_ref, bias_ref, out_ref, *, relu):
+    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * mult_ref[:] + bias_ref[:]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[:] = y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("relu", "out_inv_step", "out_qmax", "out_qmin", "block_m", "block_n"),
+)
+def int8_matmul_requant(
+    x: jax.Array,  # (M, K) int8
+    w: jax.Array,  # (K, N) int8
+    mult: jax.Array,  # (N,) f32  = s_in * s_w * |g|
+    bias: jax.Array,  # (N,) f32
+    residual: Optional[jax.Array] = None,  # (M, N) int8 on the output grid
+    relu: bool = True,
+    out_inv_step: Optional[float] = None,  # None -> f32 output (no requant)
+    out_qmax: float = 127.0,
+    out_qmin: float = 0.0,
+    block_m: int = 1024,
+    block_n: int = 512,
+):
+    m, k = x.shape
+    _, n = w.shape
+    bm = min(block_m, _round_up(m, 32))
+    bn = min(block_n, _round_up(n, 128))
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+
+    mult2 = mult.reshape(1, n).astype(jnp.float32)
+    bias2 = bias.reshape(1, n).astype(jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k, bytes_accessed=m * k + k * n + m * n, transcendentals=0
+    )
+
+    if out_inv_step is None:
+        kernel = functools.partial(_mm_f32out_kernel, relu=relu)
+        out_dtype = jnp.float32
+    elif residual is not None:
+        kernel = functools.partial(
+            _mm_res_kernel, out_inv_step=out_inv_step, out_qmax=out_qmax, out_qmin=out_qmin
+        )
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM))
+        out_dtype = jnp.int8
+    else:
+        kernel = functools.partial(
+            _mm_kernel, relu=relu, out_inv_step=out_inv_step,
+            out_qmax=out_qmax, out_qmin=out_qmin,
+        )
+        out_dtype = jnp.int8
+
+    args = [x, w, mult2, bias2]
+    if residual is not None and out_inv_step is not None:
+        args.append(residual)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        cost_estimate=cost,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Fused int8 depthwise 3x3 + requant
+# ---------------------------------------------------------------------------
+
+
+def _dw_kernel(x_ref, w_ref, mult_ref, bias_ref, out_ref, *, stride, in_step,
+               out_inv_step, out_qmax, h, w_dim):
+    """One (batch, channel-tile) block: x (1, H+2, W+2, TC) int8 padded,
+    w (3, 3, TC), out (1, Ho, Wo, TC) int8.  Shift-MAC on the VPU in f32."""
+    x = x_ref[0].astype(jnp.float32) * in_step  # (H+2, W+2, TC)
+    ho = (h - 1) // stride + 1
+    wo = (w_dim - 1) // stride + 1
+    acc = jnp.zeros((ho, wo, x.shape[-1]), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = jax.lax.slice(
+                x, (dy, dx, 0), (dy + (ho - 1) * stride + 1, dx + (wo - 1) * stride + 1, x.shape[-1]),
+                (stride, stride, 1),
+            )
+            acc = acc + tap * w_ref[dy, dx].astype(jnp.float32)
+    y = acc * mult_ref[0] + bias_ref[0]
+    y = jnp.maximum(y, 0.0)
+    q = jnp.clip(jnp.round(y * out_inv_step), 0.0, out_qmax)
+    out_ref[0] = q.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stride", "in_step", "out_inv_step", "out_qmax", "block_c")
+)
+def int8_depthwise3x3(
+    x: jax.Array,  # (B, H, W, C) int8
+    w: jax.Array,  # (3, 3, C) int8 (integer values)
+    mult: jax.Array,  # (C,) f32 = s_w * |g|  (input step passed separately)
+    bias: jax.Array,  # (C,) f32
+    stride: int = 1,
+    in_step: float = 1.0,
+    out_inv_step: float = 1.0,
+    out_qmax: float = 127.0,
+    block_c: int = 128,
+):
+    b, h, wd, c = x.shape
+    ho = (h - 1) // stride + 1
+    wo = (wd - 1) // stride + 1
+    # SAME padding for 3x3: one halo pixel each side.
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    bc = min(block_c, c)
+    assert c % bc == 0, (c, bc)
+    grid = (b, c // bc)
+
+    kernel = functools.partial(
+        _dw_kernel, stride=stride, in_step=in_step, out_inv_step=out_inv_step,
+        out_qmax=out_qmax, h=h, w_dim=wd,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h + 2, wd + 2, bc), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, bc), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ho, wo, bc), lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ho, wo, c), jnp.int8),
+    )(xp, w, mult.reshape(1, c), bias.reshape(1, c))

@@ -1,0 +1,214 @@
+"""Pallas-fused int8 inference pipeline.
+
+Production int8 executor built on the Pallas kernels
+(:mod:`spef_tpu.ops.pallas.int8_ops`): activations travel through HBM as
+**int8 on their quantization grids** (metadata-tracked steps), 1x1 convs run
+fused int8 MXU matmuls, depthwise convs run fused VPU kernels, and the
+inter-block grid changes are folded into kernel epilogues:
+
+  * the projection kernel adds the residual on the current shared grid and
+    emits the sum **already requantized to the next consumer's grid** —
+    numerically identical to the reference chain
+    ``next_shared_quant(proj_requant + residual)`` since
+    ``round((a * s_n) / s_{n+1}) == round(a * ratio)`` on integer a;
+  * every matmul's input step is folded into its per-channel multiplier.
+
+Semantics match :mod:`spef_tpu.quant.int8_model` (and hence the QAT
+fake-quant network) — tested; this module is the fast path, that one the
+readable reference executor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spef_tpu.ops.pallas.int8_ops import int8_depthwise3x3, int8_matmul_requant
+
+__all__ = ["build_pallas_forward"]
+
+
+def _dw_block_c(h: int, w: int, c: int, budget_bytes: int = 6 * 2**20) -> int:
+    """Largest divisor of c keeping the depthwise working set in VMEM."""
+    per_c = (h + 2) * (w + 2) * 5 + h * w * 4  # int8 in + f32 staging + f32 acc
+    best = 1
+    for bc in range(1, c + 1):
+        if c % bc == 0 and per_c * bc <= budget_bytes:
+            best = bc
+    return best
+
+
+def _grid_params(step: float, qmax: float, signed: bool):
+    return {"step": step, "qmax": qmax, "qmin": -qmax - 1 if signed else 0.0}
+
+
+def build_pallas_forward(graph: Dict[str, Any], img_hw: Optional[tuple] = None):
+    """Compile-time planner: fold steps/ratios, pick dw channel tiles.
+
+    ``graph`` is the output of :func:`spef_tpu.quant.convert.convert_qat_params`.
+    Returns a jittable ``images -> (ori, pos)``.
+    """
+    blocks = graph["blocks"]
+    n_blocks = len(blocks)
+
+    # The grid each block's OUTPUT must be emitted on = the next consumer's
+    # shared grid when it has one, else the block's own shared grid (sum
+    # stays on it) or None (float handoff - not used by this family).
+    def consumer_grid(i: int):
+        if i + 1 < n_blocks:
+            nxt = blocks[i + 1]
+            if "shared_step" in nxt and (nxt["input_quant"] or nxt["use_residual"]):
+                return _grid_params(nxt["shared_step"], nxt["shared_qmax"], signed=True)
+        else:
+            fs = graph["final_shared"]
+            return _grid_params(fs["step"], fs["qmax"], signed=True)
+        # Next block consumes raw values; keep the block's own shared grid.
+        blk = blocks[i]
+        if "shared_step" in blk:
+            return _grid_params(blk["shared_step"], blk["shared_qmax"], signed=True)
+        return None
+
+    def forward(images: jax.Array):
+        if images.dtype == jnp.uint8:
+            x = images.astype(jnp.float32) / 255.0
+        else:
+            levels = 2.0 ** graph["image_bits"] - 1.0
+            x = jnp.round(jnp.clip(images, 0.0, 1.0) * levels) / levels
+
+        # Stem: spatial bf16 conv (XLA) -> int8 on the stem act grid.
+        stem = graph["stem"]
+        wk = stem["w_int"].astype(jnp.bfloat16)
+        dn = jax.lax.conv_dimension_numbers(x.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), wk, (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        )
+        y = jnp.maximum(y * stem["mult_core"] + stem["bias"], 0.0)
+        step = stem["act_step"]
+        y = jnp.clip(jnp.round(y / step), 0, stem["act_qmax"]).astype(jnp.int8)
+        # y: int8 on `step` grid, NHWC.
+
+        for i, blk in enumerate(blocks):
+            b, h, w, c = y.shape
+            # Input requant to the block's shared grid (when this block has
+            # one and the producer didn't already emit on it).
+            if "shared_step" in blk and (blk["input_quant"] or blk["use_residual"]):
+                tgt = blk["shared_step"]
+                if abs(step - tgt) > 1e-12:
+                    ratio = step / tgt
+                    qmax = blk["shared_qmax"]
+                    y = jnp.clip(jnp.round(y.astype(jnp.float32) * ratio),
+                                 -qmax - 1, qmax).astype(jnp.int8)
+                step = tgt
+
+            residual = y
+            res_step = step
+            hcur = y
+            hstep = step
+
+            if "expand" in blk:
+                e = blk["expand"]
+                m = b * h * w
+                out = int8_matmul_requant(
+                    hcur.reshape(m, c),
+                    e["w_int"].reshape(e["w_int"].shape[-2], e["w_int"].shape[-1]),
+                    e["mult_core"] * hstep, e["bias"],
+                    relu=True, out_inv_step=float(1.0 / e["act_step"]),
+                    out_qmax=float(e["act_qmax"]), out_qmin=0.0,
+                )
+                hidden = e["w_int"].shape[-1]
+                hcur = out.reshape(b, h, w, hidden)
+                hstep = e["act_step"]
+
+            d = blk["depthwise"]
+            hc = hcur.shape[-1]
+            bc = _dw_block_c(h, w, hc)
+            hcur = int8_depthwise3x3(
+                hcur, d["w_int"].reshape(3, 3, hc), d["mult_core"], d["bias"],
+                stride=d["stride"], in_step=float(hstep),
+                out_inv_step=float(1.0 / d["act_step"]), out_qmax=float(d["act_qmax"]),
+                block_c=bc,
+            )
+            hstep = d["act_step"]
+            hb, hh, hw, _ = hcur.shape
+
+            p = blk["project"]
+            cout = p["w_int"].shape[-1]
+            m2 = hb * hh * hw
+            out_grid = consumer_grid(i)
+
+            if blk["use_residual"]:
+                # project -> requant to shared grid -> +residual, then the
+                # sum requantizes to the consumer grid. Two grids are only
+                # distinguishable on the integer sum, so: emit q_proj+res on
+                # the shared grid (exact), then ratio-requant to consumer.
+                ssum = int8_matmul_requant(
+                    hcur.reshape(m2, hcur.shape[-1]),
+                    p["w_int"].reshape(p["w_int"].shape[-2], p["w_int"].shape[-1]),
+                    p["mult_core"] * hstep, p["bias"],
+                    residual=residual.reshape(m2, cout),
+                    relu=False, out_inv_step=float(1.0 / blk["shared_step"]),
+                    out_qmax=float(blk["shared_qmax"]),
+                    out_qmin=float(-blk["shared_qmax"] - 1),
+                )
+                y = ssum.reshape(hb, hh, hw, cout)
+                step = blk["shared_step"]
+                if out_grid is not None and abs(step - out_grid["step"]) > 1e-12:
+                    ratio = step / out_grid["step"]
+                    y = jnp.clip(jnp.round(y.astype(jnp.float32) * ratio),
+                                 out_grid["qmin"], out_grid["qmax"]).astype(jnp.int8)
+                    step = out_grid["step"]
+            else:
+                assert out_grid is not None, "float handoff not supported in pallas path"
+                out = int8_matmul_requant(
+                    hcur.reshape(m2, hcur.shape[-1]),
+                    p["w_int"].reshape(p["w_int"].shape[-2], p["w_int"].shape[-1]),
+                    p["mult_core"] * hstep, p["bias"],
+                    relu=False, out_inv_step=float(1.0 / out_grid["step"]),
+                    out_qmax=float(out_grid["qmax"]), out_qmin=float(out_grid["qmin"]),
+                )
+                y = out.reshape(hb, hh, hw, cout)
+                step = out_grid["step"]
+
+        # Final shared grid is already the carry grid by construction.
+        fs = graph["final_shared"]
+        if abs(step - fs["step"]) > 1e-12:
+            ratio = step / fs["step"]
+            y = jnp.clip(jnp.round(y.astype(jnp.float32) * ratio),
+                         -fs["qmax"] - 1, fs["qmax"]).astype(jnp.int8)
+            step = fs["step"]
+
+        hcnv = graph["head_conv"]
+        b2, h2, w2, c2 = y.shape
+        out = int8_matmul_requant(
+            y.reshape(b2 * h2 * w2, c2),
+            hcnv["w_int"].reshape(hcnv["w_int"].shape[-2], hcnv["w_int"].shape[-1]),
+            hcnv["mult_core"] * step, hcnv["bias"],
+            relu=True, out_inv_step=float(1.0 / hcnv["act_step"]),
+            out_qmax=float(hcnv["act_qmax"]), out_qmin=0.0,
+        )
+        cout = hcnv["w_int"].shape[-1]
+        y = out.reshape(b2, h2, w2, cout)
+        step = hcnv["act_step"]
+
+        # Head: pool (int sum -> float mean) + pool quant + int8 FC branches.
+        head = graph["head"]
+        pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2)) * step
+        p_int = jnp.clip(jnp.round(pooled / head["pool_step"]),
+                         -head["pool_qmax"] - 1, head["pool_qmax"]).astype(jnp.int8)
+
+        def fc(w_int, scale, bias):
+            acc = jax.lax.dot_general(
+                p_int, w_int, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            return acc.astype(jnp.float32) * (head["pool_step"] * scale) + bias
+
+        ori = fc(head["ori_w_int"], head["ori_scale"], head["ori_bias"])
+        pos = fc(head["pos_w_int"], head["pos_scale"], head["pos_bias"])
+        return ori, pos
+
+    return forward

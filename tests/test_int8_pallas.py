@@ -1,0 +1,54 @@
+"""Parity tests: Pallas-fused int8 pipeline vs the reference int8 executor
+and the QAT fake-quant network (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from spef_tpu.models.wrapper import import_model
+from spef_tpu.quant.bitwidth import default_bit_width
+from spef_tpu.quant.convert import convert_qat_params
+from spef_tpu.quant.int8_model import build_int8_forward
+from spef_tpu.quant.int8_pallas import build_pallas_forward
+from spef_tpu.quant.parity import compare_tensors
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bw = default_bit_width(n_blocks=2, w=4, a=4, shared=4)
+    bw["inverted_residual"][0] = [(4, 4), (4, 4), (4,)]
+    model = import_model(
+        backbone_name="small_mobile_q", head_name="ursonet_q", img_size=(32, 48),
+        bit_width=bw, ori_mode="classification", n_ori_bins=64, pos_mode="regression",
+        seed=11,
+    )
+    graph = convert_qat_params(model)
+    images = jnp.asarray(
+        np.random.RandomState(5).randint(0, 256, (2, 32, 48, 3), dtype=np.uint8)
+    )
+    return model, graph, images
+
+
+def test_pallas_matches_reference_int8_executor(setup):
+    model, graph, images = setup
+    ref_fwd = build_int8_forward(graph)
+    pallas_fwd = build_pallas_forward(graph)
+    ref_out = ref_fwd(images)
+    with pltpu.force_tpu_interpret_mode():
+        pal_out = pallas_fwd(images)
+    for r, p, name in ((ref_out[0], pal_out[0], "ori"), (ref_out[1], pal_out[1], "pos")):
+        m = compare_tensors(r, p)
+        assert m["cosine"] > 0.9999, (name, m)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r), rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_matches_qat(setup):
+    model, graph, images = setup
+    pallas_fwd = build_pallas_forward(graph)
+    with pltpu.force_tpu_interpret_mode():
+        pal_out = pallas_fwd(images)
+    qat_out = model.apply(images.astype(jnp.float32) / 255.0, False)
+    m = compare_tensors(qat_out[0], pal_out[0])
+    assert m["cosine"] > 0.999, m
