@@ -87,6 +87,18 @@ def _load_image(path: str, img_size: Tuple[int, int]) -> np.ndarray:
         return np.asarray(im, np.uint8)
 
 
+def _native_loader():
+    """The C++ threaded decode+resize pipeline (spef_tpu.native), if built."""
+    try:
+        from spef_tpu import native
+
+        if native.available():
+            return native.load_batch
+    except Exception:
+        pass
+    return None
+
+
 class BatchLoader:
     """Host-side batch iterator yielding padded, masked uint8 batches.
 
@@ -131,13 +143,28 @@ class BatchLoader:
         self._epoch += 1
 
         bs = self.batch_size
+        native_load = _native_loader()
         with ThreadPoolExecutor(max_workers=self.n_workers) as pool:
             for start in range(0, len(order), bs):
                 idx = order[start : start + bs]
                 if len(idx) < bs and self.drop_remainder:
                     break
                 recs = [self.manifest.records[i] for i in idx]
-                images = list(pool.map(lambda r: _load_image(r.image_path, self.img_size), recs))
+                if native_load is not None:
+                    try:
+                        batch_imgs = native_load(
+                            [r.image_path for r in recs], self.img_size[0], self.img_size[1],
+                            self.n_workers,
+                        )
+                        images = list(batch_imgs)
+                    except IOError:
+                        images = list(
+                            pool.map(lambda r: _load_image(r.image_path, self.img_size), recs)
+                        )
+                else:
+                    images = list(
+                        pool.map(lambda r: _load_image(r.image_path, self.img_size), recs)
+                    )
                 n_valid = len(recs)
                 if n_valid < bs:  # pad to full batch, mask invalid rows
                     pad = bs - n_valid
