@@ -86,7 +86,10 @@ def _barycentric(pws: jax.Array, cws: jax.Array) -> jax.Array:
     ``pws``: (N, 3), ``cws``: (4, 3) -> alphas (N, 4) with rows summing to 1.
     """
     cc = (cws[1:] - cws[0]).T  # (3, 3), column j = c_{j+1} - c0
-    cc_inv = jnp.linalg.inv(cc)
+    # Tikhonov-regularized inverse: keeps the solve finite for (near-)
+    # degenerate keypoint configurations (e.g. garbage predictions early in
+    # training); negligible effect on well-posed inputs.
+    cc_inv = jnp.linalg.inv(cc + 1e-9 * jnp.eye(3, dtype=cc.dtype))
     a123 = (pws - cws[0]) @ cc_inv.T  # (N, 3)
     a0 = 1.0 - jnp.sum(a123, axis=-1, keepdims=True)
     return jnp.concatenate([a0, a123], axis=-1)
@@ -388,6 +391,11 @@ def epnp_solve_batch(
         r, t = _epnp_normalized(pts3d, u)
         if refine:
             r, t = _refine_pose(r, t, pts3d, u)
+        # Degenerate-input guard: non-finite solves (collapsed keypoint
+        # configurations) fall back to identity pose instead of NaN.
+        bad = ~(jnp.all(jnp.isfinite(r)) & jnp.all(jnp.isfinite(t)))
+        r = jnp.where(bad, jnp.eye(3, dtype=r.dtype), r)
+        t = jnp.where(bad, jnp.asarray([0.0, 0.0, 10.0], t.dtype), t)
         return r, t
 
     return jax.vmap(solve_one)(uv)

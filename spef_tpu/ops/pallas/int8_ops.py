@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["int8_matmul_requant", "int8_depthwise3x3"]
+__all__ = ["int8_matmul_requant", "int8_depthwise3x3", "xla_matmul_requant", "xla_depthwise3x3"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -139,22 +139,41 @@ def int8_matmul_requant(
 # ---------------------------------------------------------------------------
 
 
-def _dw_kernel(x_ref, w_ref, mult_ref, bias_ref, out_ref, *, stride, in_step,
-               out_inv_step, out_qmax, h, w_dim):
-    """One (batch, channel-tile) block: x (1, H+2, W+2, TC) int8 padded,
-    w (3, 3, TC), out (1, Ho, Wo, TC) int8.  Shift-MAC on the VPU in f32."""
-    x = x_ref[0].astype(jnp.float32) * in_step  # (H+2, W+2, TC)
-    ho = (h - 1) // stride + 1
-    wo = (w_dim - 1) // stride + 1
-    acc = jnp.zeros((ho, wo, x.shape[-1]), jnp.float32)
+def _dw_kernel(x_hbm, w_ref, mult_ref, bias_ref, out_ref, scratch, sem, *, stride,
+               in_step, out_inv_step, out_qmax, tile_oh, wd_pad, bc):
+    """One (batch, out-row-tile, channel-tile) program.
+
+    The input lives in HBM (already spatially padded); the overlapping
+    (halo) row slab this tile needs is DMA'd into VMEM scratch manually —
+    BlockSpecs cannot express overlapping windows.  Compute is tap-wise
+    shift-MAC on the VPU in f32 with a fused requant epilogue.
+    """
+    bi = pl.program_id(0)
+    oh = pl.program_id(1)
+    ci = pl.program_id(2)
+
+    in_rows = stride * (tile_oh - 1) + 3
+    row0 = oh * tile_oh * stride
+    dma = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(row0, in_rows), :, pl.ds(ci * bc, bc)],
+        scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    wo = (wd_pad - 2 - 1) // stride + 1
+    acc = jnp.zeros((tile_oh, wo, bc), jnp.float32)
     for dy in range(3):
         for dx in range(3):
             tap = jax.lax.slice(
-                x, (dy, dx, 0), (dy + (ho - 1) * stride + 1, dx + (wo - 1) * stride + 1, x.shape[-1]),
+                scratch[:],
+                (dy, dx, 0),
+                (dy + (tile_oh - 1) * stride + 1, dx + (wo - 1) * stride + 1, bc),
                 (stride, stride, 1),
-            )
+            ).astype(jnp.float32)
             acc = acc + tap * w_ref[dy, dx].astype(jnp.float32)
-    y = acc * mult_ref[0] + bias_ref[0]
+    y = acc * (in_step * mult_ref[0]) + bias_ref[0]
     y = jnp.maximum(y, 0.0)
     q = jnp.clip(jnp.round(y * out_inv_step), 0.0, out_qmax)
     out_ref[0] = q.astype(jnp.int8)
@@ -172,33 +191,110 @@ def int8_depthwise3x3(
     in_step: float = 1.0,
     out_inv_step: float = 1.0,
     out_qmax: float = 127.0,
-    block_c: int = 128,
+    block_c: int = 0,  # 0 -> auto (<=128, padded)
 ):
     b, h, wd, c = x.shape
     ho = (h - 1) // stride + 1
     wo = (wd - 1) // stride + 1
-    # SAME padding for 3x3: one halo pixel each side.
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
-    bc = min(block_c, c)
-    assert c % bc == 0, (c, bc)
-    grid = (b, c // bc)
+    # Mosaic tiling: the channel (lane) tile must be a multiple of 128 (or
+    # the full dimension) -> pad channels up to a 128 multiple.
+    c_pad = _round_up(c, 128)
+    bc = block_c or 128
+    assert c_pad % bc == 0
 
+    # Row tiling keeps the VMEM slab bounded at high resolution.
+    tile_oh = ho
+    while stride * (tile_oh - 1) + 3 > 0 and (
+        (stride * (tile_oh - 1) + 3) * (wd + 2) * bc * 5 + tile_oh * wo * bc * 4
+    ) > 6 * 2**20:
+        assert tile_oh % 2 == 0, (h, tile_oh)
+        tile_oh //= 2
+    n_oh = ho // tile_oh
+
+    # SAME padding for 3x3 (one halo pixel each side) + channel padding.
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, c_pad - c)))
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad - c)))
+    multp = jnp.pad(mult, (0, c_pad - c)).reshape(1, c_pad)
+    biasp = jnp.pad(bias, (0, c_pad - c)).reshape(1, c_pad)
+
+    in_rows = stride * (tile_oh - 1) + 3
+    grid = (b, n_oh, c_pad // bc)
     kernel = functools.partial(
         _dw_kernel, stride=stride, in_step=in_step, out_inv_step=out_inv_step,
-        out_qmax=out_qmax, h=h, w_dim=wd,
+        out_qmax=out_qmax, tile_oh=tile_oh, wd_pad=wd + 2, bc=bc,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h + 2, wd + 2, bc), lambda i, j: (i, 0, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, bc), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full padded input, HBM
+            pl.BlockSpec((3, 3, bc), lambda i, j, k: (0, 0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j, k: (0, k), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ho, wo, bc), lambda i, j: (i, 0, 0, j),
+        out_specs=pl.BlockSpec((1, tile_oh, wo, bc), lambda i, j, k: (i, j, 0, k),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ho, wo, c), jnp.int8),
-    )(xp, w, mult.reshape(1, c), bias.reshape(1, c))
+        out_shape=jax.ShapeDtypeStruct((b, ho, wo, c_pad), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((in_rows, wd + 2, bc), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp, wp, multp, biasp)
+    return out[..., :c]
+
+
+# ---------------------------------------------------------------------------
+# XLA fallbacks with identical signatures — one fused XLA program instead of
+# per-layer Pallas kernels.  Used where compile latency matters (the remote-
+# compile environment) or for A/B benchmarking; XLA fuses the epilogues into
+# the integer dot/conv.
+# ---------------------------------------------------------------------------
+
+
+def xla_matmul_requant(
+    x: jax.Array,
+    w: jax.Array,
+    mult: jax.Array,
+    bias: jax.Array,
+    residual: Optional[jax.Array] = None,
+    relu: bool = True,
+    out_inv_step: Optional[float] = None,
+    out_qmax: float = 127.0,
+    out_qmin: float = 0.0,
+    **_: object,
+):
+    acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * mult + bias
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    if out_inv_step is None:
+        return y
+    q = jnp.clip(jnp.round(y * out_inv_step), out_qmin, out_qmax)
+    if residual is not None:
+        q = jnp.clip(q.astype(jnp.int32) + residual.astype(jnp.int32), -128, 127)
+    return q.astype(jnp.int8)
+
+
+def xla_depthwise3x3(
+    x: jax.Array,
+    w: jax.Array,
+    mult: jax.Array,
+    bias: jax.Array,
+    stride: int = 1,
+    in_step: float = 1.0,
+    out_inv_step: float = 1.0,
+    out_qmax: float = 127.0,
+    **_: object,
+):
+    c = x.shape[-1]
+    wf = w.reshape(3, 3, 1, c).astype(jnp.bfloat16)
+    dn = jax.lax.conv_dimension_numbers(x.shape, wf.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), wf, (stride, stride), [(1, 1), (1, 1)],
+        dimension_numbers=dn, feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.maximum(y * (mult * in_step) + bias, 0.0)
+    return jnp.clip(jnp.round(y * out_inv_step), 0.0, out_qmax).astype(jnp.int8)

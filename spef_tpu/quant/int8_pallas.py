@@ -27,31 +27,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spef_tpu.ops.pallas.int8_ops import int8_depthwise3x3, int8_matmul_requant
+from spef_tpu.ops.pallas.int8_ops import (
+    int8_depthwise3x3,
+    int8_matmul_requant,
+    xla_depthwise3x3,
+    xla_matmul_requant,
+)
 
 __all__ = ["build_pallas_forward"]
-
-
-def _dw_block_c(h: int, w: int, c: int, budget_bytes: int = 6 * 2**20) -> int:
-    """Largest divisor of c keeping the depthwise working set in VMEM."""
-    per_c = (h + 2) * (w + 2) * 5 + h * w * 4  # int8 in + f32 staging + f32 acc
-    best = 1
-    for bc in range(1, c + 1):
-        if c % bc == 0 and per_c * bc <= budget_bytes:
-            best = bc
-    return best
 
 
 def _grid_params(step: float, qmax: float, signed: bool):
     return {"step": step, "qmax": qmax, "qmin": -qmax - 1 if signed else 0.0}
 
 
-def build_pallas_forward(graph: Dict[str, Any], img_hw: Optional[tuple] = None):
+def build_pallas_forward(
+    graph: Dict[str, Any], img_hw: Optional[tuple] = None, backend: str = "pallas"
+):
     """Compile-time planner: fold steps/ratios, pick dw channel tiles.
 
     ``graph`` is the output of :func:`spef_tpu.quant.convert.convert_qat_params`.
     Returns a jittable ``images -> (ori, pos)``.
+
+    ``backend``: 'pallas' uses the fused Pallas kernels; 'xla' runs the SAME
+    int8-carry pipeline through XLA integer dots/convs (identical numerics,
+    one fused XLA program — much faster to compile, useful where compile
+    latency matters and as the A/B baseline for the kernels).
     """
+    assert backend in ("pallas", "xla")
+    mm = int8_matmul_requant if backend == "pallas" else xla_matmul_requant
+    dw = int8_depthwise3x3 if backend == "pallas" else xla_depthwise3x3
     blocks = graph["blocks"]
     n_blocks = len(blocks)
 
@@ -113,7 +118,7 @@ def build_pallas_forward(graph: Dict[str, Any], img_hw: Optional[tuple] = None):
             if "expand" in blk:
                 e = blk["expand"]
                 m = b * h * w
-                out = int8_matmul_requant(
+                out = mm(
                     hcur.reshape(m, c),
                     e["w_int"].reshape(e["w_int"].shape[-2], e["w_int"].shape[-1]),
                     e["mult_core"] * hstep, e["bias"],
@@ -126,12 +131,10 @@ def build_pallas_forward(graph: Dict[str, Any], img_hw: Optional[tuple] = None):
 
             d = blk["depthwise"]
             hc = hcur.shape[-1]
-            bc = _dw_block_c(h, w, hc)
-            hcur = int8_depthwise3x3(
+            hcur = dw(
                 hcur, d["w_int"].reshape(3, 3, hc), d["mult_core"], d["bias"],
                 stride=d["stride"], in_step=float(hstep),
                 out_inv_step=float(1.0 / d["act_step"]), out_qmax=float(d["act_qmax"]),
-                block_c=bc,
             )
             hstep = d["act_step"]
             hb, hh, hw, _ = hcur.shape
@@ -146,7 +149,7 @@ def build_pallas_forward(graph: Dict[str, Any], img_hw: Optional[tuple] = None):
                 # sum requantizes to the consumer grid. Two grids are only
                 # distinguishable on the integer sum, so: emit q_proj+res on
                 # the shared grid (exact), then ratio-requant to consumer.
-                ssum = int8_matmul_requant(
+                ssum = mm(
                     hcur.reshape(m2, hcur.shape[-1]),
                     p["w_int"].reshape(p["w_int"].shape[-2], p["w_int"].shape[-1]),
                     p["mult_core"] * hstep, p["bias"],
@@ -164,7 +167,7 @@ def build_pallas_forward(graph: Dict[str, Any], img_hw: Optional[tuple] = None):
                     step = out_grid["step"]
             else:
                 assert out_grid is not None, "float handoff not supported in pallas path"
-                out = int8_matmul_requant(
+                out = mm(
                     hcur.reshape(m2, hcur.shape[-1]),
                     p["w_int"].reshape(p["w_int"].shape[-2], p["w_int"].shape[-1]),
                     p["mult_core"] * hstep, p["bias"],
@@ -184,7 +187,7 @@ def build_pallas_forward(graph: Dict[str, Any], img_hw: Optional[tuple] = None):
 
         hcnv = graph["head_conv"]
         b2, h2, w2, c2 = y.shape
-        out = int8_matmul_requant(
+        out = mm(
             y.reshape(b2 * h2 * w2, c2),
             hcnv["w_int"].reshape(hcnv["w_int"].shape[-2], hcnv["w_int"].shape[-1]),
             hcnv["mult_core"] * step, hcnv["bias"],
