@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 TARGET_FPS = 20_000.0
-BATCH = 512
+BATCH = 256  # best operating point from the batch sweep (256/512/1024)
 IMG = 256
 WARMUP = 3
 ITERS = 20

@@ -166,6 +166,16 @@ def main(argv=None):
 
     with open(os.path.join(out_dir, "temporal_metrics.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    # Tabular export (reference writes still/video/distances xlsx,
+    # `temporal.py:519-532`).
+    from spef_tpu.utils.experiment import save_score_error
+
+    scores = {seq: {k: [v["esa_score"]] for k, v in m.items()} for seq, m in summary.items()}
+    errors = {
+        seq: {f"{k}_{axis}": [v[f"{axis}_error"]] for k, v in m.items() for axis in ("ori", "pos")}
+        for seq, m in summary.items()
+    }
+    save_score_error(out_dir, scores, errors, name="temporal_tables")
     print(f"Saved metrics to {out_dir}/temporal_metrics.json")
 
 

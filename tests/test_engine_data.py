@@ -1,0 +1,131 @@
+"""Tests for the inference engine, dataset dispatch, and streaming temporal
+inference class."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spef_tpu.codec.facade import SPEUtils
+from spef_tpu.data.camera import SPEED_CAMERA
+from spef_tpu.data.dataset import Manifest, load_dataset
+from spef_tpu.engine import SPEJax
+from spef_tpu.models.wrapper import import_model
+from spef_tpu.temporal.inference import Inference
+
+
+def _write_speed_layout(root, n=6):
+    """Minimal SPEED-layout dataset with reference label keys."""
+    import cv2
+
+    img_dir = os.path.join(root, "images", "train")
+    os.makedirs(img_dir, exist_ok=True)
+    labels = []
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        fname = f"img{i:06d}.jpg"
+        img = rng.randint(0, 255, (60, 96, 3), np.uint8)
+        cv2.imwrite(os.path.join(img_dir, fname), img)
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        labels.append({
+            "filename": fname,
+            "q_vbs2tango": q.tolist(),  # reference SPEED key alias
+            "r_Vo2To_vbs_true": [0.0, 0.0, 10.0 + i],
+        })
+    with open(os.path.join(root, "train_no_valid.json"), "w") as f:
+        json.dump(labels[: n // 2], f)
+    with open(os.path.join(root, "valid.json"), "w") as f:
+        json.dump(labels[n // 2:], f)
+    return root
+
+
+class TestSpeedDataset:
+    def test_dispatch_and_key_aliases(self, tmp_path):
+        root = _write_speed_layout(str(tmp_path / "speed"))
+        data, split = load_dataset(root, batch_size=3, img_size=(32, 48))
+        assert "train" in data and "valid" in data
+        assert split["eval"] == ("valid",)
+        batch = next(iter(data["train"]))
+        assert batch["images"].shape == (3, 32, 48, 3)
+        np.testing.assert_allclose(np.linalg.norm(batch["ori"], axis=-1), 1.0, atol=1e-5)
+
+    def test_numeric_sort_order(self, tmp_path):
+        m = Manifest.from_json.__func__  # unbound for doc only
+        root = _write_speed_layout(str(tmp_path / "speed"))
+        manifest = Manifest.from_json(
+            os.path.join(root, "train_no_valid.json"), os.path.join(root, "images", "train")
+        )
+        nums = [int("".join(filter(str.isdigit, os.path.basename(r.image_path))))
+                for r in manifest.records]
+        assert nums == sorted(nums)
+
+
+class TestEngine:
+    def test_predict_contract(self):
+        spe = SPEUtils.create(SPEED_CAMERA, ori_mode="classification", n_ori_bins_per_dim=4,
+                              pos_mode="classification", n_pos_bins_per_dim=4,
+                              use_keypoints=False)
+        model = import_model(
+            backbone_name="small", head_name="ursonet", img_size=(32, 32),
+            ori_mode="classification", n_ori_bins=spe.orientation.n_bins,
+            pos_mode="classification", n_pos_bins=spe.position.n_bins,
+        )
+        engine = SPEJax(model, spe)
+        imgs = np.random.RandomState(0).randint(0, 256, (4, 32, 32, 3), np.uint8)
+        pose, latency_ms = engine.predict(imgs)
+        assert latency_ms > 0
+        assert pose["ori"].shape == (4, 4) and pose["pos"].shape == (4, 3)
+        assert pose["ori_soft"].shape[1] == spe.orientation.n_bins
+        # uint8 and prescaled float input agree.
+        pose2, _ = engine.predict(imgs.astype(np.float32) / 255.0)
+        np.testing.assert_allclose(np.asarray(pose["ori"]), np.asarray(pose2["ori"]),
+                                   atol=1e-5)
+
+
+class TestStreamingInference:
+    def test_streaming_with_adaptive_filter(self):
+        spe = SPEUtils.create(SPEED_CAMERA, ori_mode="classification", n_ori_bins_per_dim=4,
+                              pos_mode="classification", n_pos_bins_per_dim=4,
+                              use_keypoints=True)
+        model = import_model(
+            backbone_name="small", head_name="ursonet", img_size=(32, 32),
+            ori_mode="classification", n_ori_bins=spe.orientation.n_bins,
+            pos_mode="classification", n_pos_bins=spe.position.n_bins,
+        )
+        engine = SPEJax(model, spe)
+        inf = Inference(engine, spe)
+        rng = np.random.RandomState(1)
+        for t in range(3):
+            frame = rng.randint(0, 256, (1, 32, 32, 3), np.uint8)
+            still, lat, video = inf.predict(frame, "Adaptative")
+            assert still["ori"].shape == (4,)
+            assert video is not None and video["ori"].shape == (4,)
+            assert "keypoints" in still and "bbox" in still
+        assert inf.prev_still_ori is not None
+        inf.reset()
+        assert inf.prev_still_ori is None and inf.pdf_adapt_ori.previous_pdf is None
+
+    def test_streaming_without_filter(self):
+        spe = SPEUtils.create(SPEED_CAMERA, use_keypoints=False)
+        model = import_model(
+            backbone_name="small", head_name="ursonet", img_size=(32, 32),
+            ori_mode="regression", pos_mode="regression",
+        )
+        engine = SPEJax(model, spe)
+        inf = Inference(engine, spe)
+        frame = np.zeros((1, 32, 32, 3), np.uint8)
+        still, _, video = inf.predict(frame)
+        assert video is None
+
+    def test_unknown_filter_raises(self):
+        spe = SPEUtils.create(SPEED_CAMERA, use_keypoints=False)
+        model = import_model(
+            backbone_name="small", head_name="ursonet", img_size=(32, 32),
+            ori_mode="regression", pos_mode="regression",
+        )
+        inf = Inference(SPEJax(model, spe), spe)
+        with pytest.raises(ValueError):
+            inf.predict(np.zeros((1, 32, 32, 3), np.uint8), "Kalmann")
