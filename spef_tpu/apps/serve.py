@@ -1,0 +1,131 @@
+"""Deployment CLI — load an experiment and serve pose inference.
+
+Counterpart of the reference's ``deploy_finn.py`` / ``deploy_tvm.py`` /
+``deploy_nvidia.py`` (SSH/RPC/TCP deployment to boards): on TPU the
+deployment target is the local slice, so this CLI loads a trained
+experiment (float checkpoint or built int8 graph), compiles the serving
+program over the device mesh, and either runs a throughput/latency
+self-test or serves frames from a directory.
+
+Usage:
+    python -m spef_tpu.apps.serve --experiment experiments/train/exp_x \
+        [--int8-graph experiments/build/exp_x/int8_graph.pkl] \
+        [--batch 256] [--selftest-frames 2048] [--frames-dir path/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import pickle
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    from spef_tpu.codec.facade import SPEUtils
+    from spef_tpu.config.train_config import load_config
+    from spef_tpu.data.camera import load_camera
+    from spef_tpu.engine import build_predict_fn
+    from spef_tpu.models.wrapper import import_model
+    from spef_tpu.serving import PoseServer
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--experiment", required=True)
+    parser.add_argument("--int8-graph", default=None, help="int8_graph.pkl from build_int8")
+    parser.add_argument("--int8-backend", default="xla", choices=["xla", "pallas"])
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--selftest-frames", type=int, default=2048)
+    parser.add_argument("--frames-dir", default=None, help="serve real frames from here")
+    args = parser.parse_args(argv)
+
+    cfg = load_config(os.path.join(args.experiment, "config.yaml"))
+    camera = load_camera(cfg.DATA.PATH) if os.path.exists(cfg.DATA.PATH) else None
+    if camera is None:
+        from spef_tpu.data.camera import SPEED_CAMERA as camera  # noqa: N813
+
+    spe_utils = SPEUtils.create(
+        camera,
+        ori_mode=cfg.MODEL.HEAD.ORI,
+        n_ori_bins_per_dim=cfg.MODEL.HEAD.N_ORI_BINS_PER_DIM,
+        ori_smooth_factor=cfg.DATA.ORI_SMOOTH_FACTOR,
+        ori_delete_unused_bins=cfg.MODEL.HEAD.ORI_DELETE_UNUSED_BINS,
+        pos_mode=cfg.MODEL.HEAD.POS,
+        n_pos_bins_per_dim=cfg.MODEL.HEAD.N_POS_BINS_PER_DIM,
+        pos_smooth_factor=cfg.DATA.POS_SMOOTH_FACTOR,
+        use_keypoints=False,
+    )
+    img_size = tuple(cfg.DATA.IMG_SIZE)
+
+    model = import_model(
+        backbone_name=cfg.MODEL.BACKBONE.NAME,
+        head_name=cfg.MODEL.HEAD.NAME,
+        img_size=img_size,
+        params_path=os.path.join(args.experiment, "model", "parameters.msgpack"),
+        residual=cfg.MODEL.BACKBONE.RESIDUAL,
+        quantization=cfg.MODEL.QUANTIZATION,
+        ori_mode=cfg.MODEL.HEAD.ORI,
+        n_ori_bins=spe_utils.orientation.n_bins,
+        pos_mode=cfg.MODEL.HEAD.POS,
+        n_pos_bins=spe_utils.position.n_bins,
+    )
+
+    forward_fn = None
+    if args.int8_graph:
+        from spef_tpu.quant.int8_pallas import build_pallas_forward
+
+        with open(args.int8_graph, "rb") as f:
+            graph = pickle.load(f)
+        graph = {k: v for k, v in graph.items()}
+        forward_fn = build_pallas_forward(
+            {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v) for k, v in graph.items()},
+            backend=args.int8_backend,
+        )
+        print(f"Serving int8 graph ({args.int8_backend} backend)")
+
+    predict = build_predict_fn(model, spe_utils, forward_fn=forward_fn)
+    server = PoseServer(predict, img_shape=(*img_size, 3), max_batch=args.batch)
+    print(f"Compiling serving program (batch window {args.batch})...")
+    compile_s = server.warmup()
+    print(f"Ready in {compile_s:.1f}s on {server.stats()['devices']} device(s)")
+
+    if args.frames_dir:
+        paths = sorted(
+            glob.glob(os.path.join(args.frames_dir, "*.png"))
+            + glob.glob(os.path.join(args.frames_dir, "*.jpg"))
+        )
+        from spef_tpu.native import available, load_batch
+
+        for start in range(0, len(paths), args.batch):
+            chunk = paths[start : start + args.batch]
+            if available():
+                frames = load_batch(chunk, img_size[0], img_size[1])
+            else:
+                from spef_tpu.data.dataset import _load_image
+
+                frames = np.stack([_load_image(p, img_size) for p in chunk])
+            pose, lat = server.predict(frames)
+            for p, q, t in zip(chunk, pose["ori"], pose["pos"]):
+                print(f"{os.path.basename(p)}: q={np.round(q, 4).tolist()} "
+                      f"t={np.round(t, 3).tolist()}")
+        print(f"latency stats: {server.stats()}")
+        return
+
+    # Self-test: synthetic frames, sustained throughput.
+    rng = np.random.RandomState(0)
+    n_batches = max(args.selftest_frames // args.batch, 1)
+    frames = rng.randint(0, 256, (args.batch, *img_size, 3), np.uint8)
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        server.predict(frames)
+    dt = time.perf_counter() - t0
+    print(f"selftest: {n_batches * args.batch / dt:.1f} frames/s sustained "
+          f"(request latency {server.stats()['p50_ms']:.1f} ms p50)")
+
+
+if __name__ == "__main__":
+    main()

@@ -124,6 +124,14 @@ def int8_matmul_requant(
     if residual is not None and out_inv_step is not None:
         args.append(residual)
 
+    extra = {}
+    try:  # both grid axes are embarrassingly parallel — tell Mosaic.
+        extra["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        )
+    except TypeError:
+        pass
+
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -131,6 +139,7 @@ def int8_matmul_requant(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         cost_estimate=cost,
+        **extra,
     )(*args)
 
 

@@ -131,7 +131,10 @@ def build_pallas_forward(
 
             d = blk["depthwise"]
             hc = hcur.shape[-1]
-            hcur = dw(
+            # Mosaic cannot lower strided vector slices -> stride-2 layers
+            # (4 of 17) take the XLA depthwise path even on backend='pallas'.
+            dw_fn = dw if d["stride"] == 1 else xla_depthwise3x3
+            hcur = dw_fn(
                 hcur, d["w_int"].reshape(3, 3, hc), d["mult_core"], d["bias"],
                 stride=d["stride"], in_step=float(hstep),
                 out_inv_step=float(1.0 / d["act_step"]), out_qmax=float(d["act_qmax"]),

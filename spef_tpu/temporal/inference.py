@@ -105,41 +105,41 @@ def sequence_inference(
         o, p = fwd(chunk)
         ori_soft_chunks.append(o)
         pos_soft_chunks.append(p)
-    ori_soft = jnp.concatenate(ori_soft_chunks)
-    pos_soft = jnp.concatenate(pos_soft_chunks)
 
-    # 2) Still decode (batched) + continuity.
-    ori_still, _ = spe_utils.orientation.decode_batch(ori_soft)
-    pos_still = spe_utils.position.decode_batch(pos_soft)
-    ori_still = quaternion_continuity_scan(ori_still)
+    # 2+3) Everything after the CNN — concat, still decode, continuity,
+    # scan filtering, re-decode — is ONE jitted program (per-op dispatch
+    # here would be host-round-trip-bound on a tunneled device).
+    @jax.jit
+    def postprocess(ori_chunks, pos_chunks):
+        ori_soft = jnp.concatenate(ori_chunks)
+        pos_soft = jnp.concatenate(pos_chunks)
+        ori_still, _ = spe_utils.orientation.decode_batch(ori_soft)
+        pos_still = spe_utils.position.decode_batch(pos_soft)
+        ori_still = quaternion_continuity_scan(ori_still)
+        out = {
+            "ori_still": ori_still,
+            "pos_still": pos_still,
+            "ori_soft": ori_soft,
+            "pos_soft": pos_soft,
+        }
+        if filter_video:
+            from spef_tpu.temporal.pdf_filter import scan_filter
 
-    out = {
-        "ori_still": ori_still,
-        "pos_still": pos_still,
-        "ori_soft": ori_soft,
-        "pos_soft": pos_soft,
-    }
-    if not filter_video:
+            ori_filt, ori_dist = scan_filter(ori_soft, ori_cfg["n"], ori_cfg["alpha"],
+                                             ori_cfg["distance_metric"])
+            pos_filt, pos_dist = scan_filter(pos_soft, pos_cfg["n"], pos_cfg["alpha"],
+                                             pos_cfg["distance_metric"])
+            ori_video, _ = spe_utils.orientation.decode_batch(ori_filt)
+            pos_video = spe_utils.position.decode_batch(pos_filt)
+            out.update(
+                ori_video=quaternion_continuity_scan(ori_video),
+                pos_video=pos_video,
+                ori_distance=ori_dist,
+                pos_distance=pos_dist,
+            )
         return out
 
-    # 3) Temporal PDF filtering via scan + batched re-decode + continuity.
-    from spef_tpu.temporal.pdf_filter import scan_filter
-
-    ori_filt, ori_dist = scan_filter(ori_soft, ori_cfg["n"], ori_cfg["alpha"],
-                                     ori_cfg["distance_metric"])
-    pos_filt, pos_dist = scan_filter(pos_soft, pos_cfg["n"], pos_cfg["alpha"],
-                                     pos_cfg["distance_metric"])
-    ori_video, _ = spe_utils.orientation.decode_batch(ori_filt)
-    pos_video = spe_utils.position.decode_batch(pos_filt)
-    ori_video = quaternion_continuity_scan(ori_video)
-
-    out.update(
-        ori_video=ori_video,
-        pos_video=pos_video,
-        ori_distance=ori_dist,
-        pos_distance=pos_dist,
-    )
-    return out
+    return postprocess(ori_soft_chunks, pos_soft_chunks)
 
 
 class Inference:

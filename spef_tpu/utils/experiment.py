@@ -71,22 +71,33 @@ def save_score_error(folder: str, scores: Dict, errors: Dict, latency: Optional[
     with open(path, "w") as f:
         json.dump(payload, f, indent=2, default=float)
 
-    try:  # optional tabular export
+    # Tabular export: one CSV per sheet (always), plus xlsx when an engine
+    # is available (the reference writes multi-sheet xlsx,
+    # `tools/utils.py:191-241`; this environment has no xlsx engine).
+    try:
         import pandas as pd
 
-        with pd.ExcelWriter(os.path.join(folder, f"{name}.xlsx")) as writer:
-            for sheet, data in payload.items():
-                flat = {}
-                for split, metrics in data.items():
-                    if isinstance(metrics, dict):
-                        for k, v in metrics.items():
-                            flat[f"{split}/{k}"] = v if isinstance(v, list) else [v]
-                    else:
-                        flat[split] = metrics if isinstance(metrics, list) else [metrics]
-                if flat:
-                    maxlen = max(len(v) for v in flat.values())
-                    flat = {k: v + [None] * (maxlen - len(v)) for k, v in flat.items()}
-                    pd.DataFrame(flat).to_excel(writer, sheet_name=sheet[:31], index=False)
+        frames = {}
+        for sheet, data in payload.items():
+            flat = {}
+            for split, metrics in data.items():
+                if isinstance(metrics, dict):
+                    for k, v in metrics.items():
+                        flat[f"{split}/{k}"] = v if isinstance(v, list) else [v]
+                else:
+                    flat[split] = metrics if isinstance(metrics, list) else [metrics]
+            if flat:
+                maxlen = max(len(v) for v in flat.values())
+                flat = {k: v + [None] * (maxlen - len(v)) for k, v in flat.items()}
+                frames[sheet] = pd.DataFrame(flat)
+        for sheet, df in frames.items():
+            df.to_csv(os.path.join(folder, f"{name}_{sheet}.csv"), index=False)
+        try:
+            with pd.ExcelWriter(os.path.join(folder, f"{name}.xlsx")) as writer:
+                for sheet, df in frames.items():
+                    df.to_excel(writer, sheet_name=sheet[:31], index=False)
+        except Exception:
+            pass
     except Exception:
         pass
     return path
