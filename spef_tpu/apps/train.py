@@ -51,9 +51,17 @@ def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 10
         pos_smooth_factor=cfg.DATA.POS_SMOOTH_FACTOR,
     )
 
+    rot_augment = None
+    if cfg.DATA.ROT_AUGMENT:
+        # Host-side yaw warp (cv2) in the loader — the TPU executes
+        # fine-grained warp gathers poorly (see data/augment_host.py).
+        from spef_tpu.data.augment_host import HostRotationAugment
+
+        rot_augment = HostRotationAugment(camera, seed=seed)
+
     data, split = load_dataset(
         cfg.DATA.PATH, cfg.DATA.BATCH_SIZE, tuple(cfg.DATA.IMG_SIZE),
-        shuffle=cfg.DATA.SHUFFLE, seed=seed,
+        shuffle=cfg.DATA.SHUFFLE, seed=seed, rot_augment=rot_augment,
     )
 
     bit_width = None
@@ -99,7 +107,8 @@ def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 10
 
     trainer = Trainer(
         spe_utils, spe_loss, camera,
-        rot_augment=cfg.DATA.ROT_AUGMENT, other_augment=cfg.DATA.OTHER_AUGMENT,
+        rot_augment=False,  # handled host-side in the loader (above)
+        other_augment=cfg.DATA.OTHER_AUGMENT,
         clip_batchnorm=cfg.TRAIN.CLIP_BATCHNORM, seed=seed,
     )
     state, rec_loss, rec_score, rec_error = trainer.fit(

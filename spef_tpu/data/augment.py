@@ -35,8 +35,16 @@ __all__ = [
 
 
 def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
-    """Sample (H, W, C) image at float coords; zeros outside."""
+    """Sample (H, W, C) image at float coords; zeros outside.
+
+    Uses a flattened single-axis ``jnp.take`` gather: 2D advanced indexing
+    lowers to pathologically slow fusions inside large TPU programs
+    (~60 ms/tap at 64x240x384 — profiled), while the row-gather form runs in
+    microseconds.
+    """
     h, w = img.shape[0], img.shape[1]
+    c = img.shape[-1]
+    flat = img.reshape(h * w, c)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     dx = x - x0
@@ -46,9 +54,8 @@ def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
 
     def gather(yy, xx):
         valid = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
-        yy = jnp.clip(yy, 0, h - 1)
-        xx = jnp.clip(xx, 0, w - 1)
-        vals = img[yy, xx]  # (..., C)
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+        vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(*idx.shape, c)
         return jnp.where(valid[..., None], vals, 0.0)
 
     v00 = gather(y0, x0)

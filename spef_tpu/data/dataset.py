@@ -115,6 +115,7 @@ class BatchLoader:
         seed: int = 1001,
         n_workers: int = 16,
         drop_remainder: bool = False,
+        rot_augment=None,  # optional HostRotationAugment (train loaders)
     ):
         self.manifest = manifest
         self.batch_size = batch_size
@@ -123,6 +124,7 @@ class BatchLoader:
         self.seed = seed
         self.n_workers = n_workers
         self.drop_remainder = drop_remainder
+        self.rot_augment = rot_augment
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -166,14 +168,24 @@ class BatchLoader:
                         pool.map(lambda r: _load_image(r.image_path, self.img_size), recs)
                     )
                 n_valid = len(recs)
+                oris = [r.ori for r in recs]
+                poss = [r.pos for r in recs]
+                if self.rot_augment is not None:
+                    # Host-side yaw warp with pose update (reference
+                    # CustomRotation placement, `data/utils.py:212-217`).
+                    for i in range(n_valid):
+                        images[i], oris[i], poss[i] = self.rot_augment(
+                            images[i], oris[i], poss[i]
+                        )
                 if n_valid < bs:  # pad to full batch, mask invalid rows
                     pad = bs - n_valid
                     images += [np.zeros_like(images[0])] * pad
-                    recs += [recs[-1]] * pad
+                    oris += [oris[-1]] * pad
+                    poss += [poss[-1]] * pad
                 yield {
                     "images": np.stack(images),
-                    "ori": np.stack([r.ori for r in recs]),
-                    "pos": np.stack([r.pos for r in recs]),
+                    "ori": np.stack(oris),
+                    "pos": np.stack(poss),
                     "mask": np.concatenate(
                         [np.ones(n_valid, np.float32), np.zeros(bs - n_valid, np.float32)]
                     ),
@@ -193,6 +205,7 @@ def _make_loaders(
     seed: int,
     n_workers: int,
     shuffle_only_train: bool = True,
+    rot_augment=None,
 ) -> Dict[str, BatchLoader]:
     loaders = {}
     for name, (images_path, labels_path) in splits.items():
@@ -206,24 +219,26 @@ def _make_loaders(
             shuffle=shuffle and (name == "train" or not shuffle_only_train),
             seed=seed,
             n_workers=n_workers,
+            rot_augment=rot_augment if name == "train" else None,
         )
     return loaders
 
 
-def import_speed(path, batch_size, img_size, shuffle=False, seed=1001):
+def import_speed(path, batch_size, img_size, shuffle=False, seed=1001, rot_augment=None):
     """SPEED splits: train/valid/real (`datasets/speed.py:35-118`)."""
     splits = {
         "train": (os.path.join(path, "images", "train"), os.path.join(path, "train_no_valid.json")),
         "valid": (os.path.join(path, "images", "train"), os.path.join(path, "valid.json")),
         "real": (os.path.join(path, "images", "real"), os.path.join(path, "real.json")),
     }
-    data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=16)
+    data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=16,
+                         rot_augment=rot_augment)
     split = {"train": tuple(k for k in ("train", "valid", "real") if k in data),
              "eval": tuple(k for k in ("valid", "real") if k in data)}
     return data, split
 
 
-def import_speed_plus(path, batch_size, img_size, shuffle=False, seed=1001):
+def import_speed_plus(path, batch_size, img_size, shuffle=False, seed=1001, rot_augment=None):
     """SPEED+ splits: train/valid/sunlamp/lightbox (`datasets/speed_plus.py:100-109`)."""
     sy = os.path.join(path, "synthetic")
     splits = {
@@ -232,7 +247,8 @@ def import_speed_plus(path, batch_size, img_size, shuffle=False, seed=1001):
         "sunlamp": (os.path.join(path, "sunlamp", "images"), os.path.join(path, "sunlamp", "test.json")),
         "lightbox": (os.path.join(path, "lightbox", "images"), os.path.join(path, "lightbox", "test.json")),
     }
-    data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=16)
+    data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=16,
+                         rot_augment=rot_augment)
     split = {
         "train": tuple(k for k in ("train", "valid", "sunlamp", "lightbox") if k in data),
         "eval": tuple(k for k in ("valid", "sunlamp", "lightbox") if k in data),
@@ -240,13 +256,14 @@ def import_speed_plus(path, batch_size, img_size, shuffle=False, seed=1001):
     return data, split
 
 
-def import_dspeed(path, batch_size, img_size, shuffle=False, seed=1001):
+def import_dspeed(path, batch_size, img_size, shuffle=False, seed=1001, rot_augment=None):
     """D-SPEED still splits: train/valid/test (`datasets/dspeed.py:88-116`)."""
     splits = {
         name: (os.path.join(path, name, "images"), os.path.join(path, name, "pose.json"))
         for name in ("train", "valid", "test")
     }
-    data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=64)
+    data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=64,
+                         rot_augment=rot_augment)
     split = {"train": tuple(k for k in ("train", "valid", "test") if k in data),
              "eval": tuple(k for k in ("valid", "test") if k in data)}
     return data, split
@@ -273,19 +290,24 @@ def load_dataset(
     img_size: Tuple[int, int] = (240, 384),
     shuffle: bool = False,
     seed: int = 1001,
+    rot_augment=None,
 ):
-    """Dataset dispatch by path (reference `import_dataset.py:13-57`)."""
+    """Dataset dispatch by path (reference `import_dataset.py:13-57`).
+
+    ``rot_augment``: optional HostRotationAugment applied to the train split
+    (host-side yaw warp with pose update; see data/augment_host.py).
+    """
     assert os.path.exists(path), f"Dataset path {path} does not exist"
     name = os.path.split(path.rstrip("/"))[-1]
     if name == "speed":
-        return import_speed(path, batch_size, img_size, shuffle, seed)
+        return import_speed(path, batch_size, img_size, shuffle, seed, rot_augment)
     if name == "speed_plus":
-        return import_speed_plus(path, batch_size, img_size, shuffle, seed)
+        return import_speed_plus(path, batch_size, img_size, shuffle, seed, rot_augment)
     if "dspeed" in path and name == "still":
-        return import_dspeed(path, batch_size, img_size, shuffle, seed)
+        return import_dspeed(path, batch_size, img_size, shuffle, seed, rot_augment)
     if "dspeed" in path and name == "video":
         return import_dspeed_video(path, batch_size, img_size)
     # Fallback: any directory holding pose.json splits behaves like dspeed-still.
     if os.path.isdir(os.path.join(path, "train")):
-        return import_dspeed(path, batch_size, img_size, shuffle, seed)
+        return import_dspeed(path, batch_size, img_size, shuffle, seed, rot_augment)
     raise ValueError(f"Dataset {name} not implemented")

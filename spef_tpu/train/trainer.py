@@ -76,6 +76,11 @@ class Trainer:
         self.other_augment = other_augment
         self.clip_batchnorm = clip_batchnorm
         self.seed = seed
+        # Augmentation runs as its own jitted program: embedded in the train
+        # step, XLA schedules the warp gathers pathologically (~200 ms of
+        # fusion stalls at 64x240x384 — profiled); standalone they cost
+        # microseconds.
+        self._augment = jax.jit(self._build_augment()) if (rot_augment or other_augment) else None
         self._train_step = jax.jit(self._build_train_step(), donate_argnums=(0,))
         self._eval_step = jax.jit(self._build_eval_step())
 
@@ -90,19 +95,25 @@ class Trainer:
             t["keypoints"] = self.spe_utils.keypoints.create_keypoints2d(ori, pos)
         return t
 
+    def _build_augment(self):
+        def augment(images_u8, ori, pos, rng):
+            images = images_u8.astype(jnp.float32) / 255.0
+            images, ori, pos = train_augment(
+                rng, images, ori, pos, self.camera, self.rot_augment, self.other_augment
+            )
+            return images, ori, pos
+
+        return augment
+
     def _build_train_step(self):
         spe_utils, spe_loss = self.spe_utils, self.spe_loss
 
-        def step(state: TrainState, images_u8, ori, pos, mask, rng):
+        def step(state: TrainState, images, ori, pos, mask, rng):
             import optax
 
-            images = images_u8.astype(jnp.float32) / 255.0
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
             k_aug, k_drop = jax.random.split(rng)
-            if self.rot_augment or self.other_augment:
-                images, ori, pos = train_augment(
-                    k_aug, images, ori, pos, self.camera,
-                    self.rot_augment, self.other_augment,
-                )
             targets = self._encode_targets(ori, pos)
 
             def _loss(params):
@@ -198,9 +209,14 @@ class Trainer:
                     n_valid = int(batch["mask"].sum())
                     if phase == "train":
                         rng, step_rng = jax.random.split(rng)
+                        images = jnp.asarray(batch["images"])
+                        ori = jnp.asarray(batch["ori"])
+                        pos_t = jnp.asarray(batch["pos"])
+                        if self._augment is not None:
+                            rng, aug_rng = jax.random.split(rng)
+                            images, ori, pos_t = self._augment(images, ori, pos_t, aug_rng)
                         state, metrics = self._train_step(
-                            state, jnp.asarray(batch["images"]), jnp.asarray(batch["ori"]),
-                            jnp.asarray(batch["pos"]), jnp.asarray(batch["mask"]), step_rng,
+                            state, images, ori, pos_t, jnp.asarray(batch["mask"]), step_rng,
                         )
                     else:
                         metrics = self._eval_step(

@@ -86,9 +86,12 @@ def test_augmented_training_step_runs(dataset, spe_utils):
     trainer = Trainer(spe_utils, loss, rot_augment=True, other_augment=True,
                       clip_batchnorm=True)
     batch = next(iter(data["train"]))
+    images, ori, pos = trainer._augment(
+        jnp.asarray(batch["images"]), jnp.asarray(batch["ori"]),
+        jnp.asarray(batch["pos"]), jax.random.PRNGKey(1),
+    )
     state2, metrics = trainer._train_step(
-        state, jnp.asarray(batch["images"]), jnp.asarray(batch["ori"]),
-        jnp.asarray(batch["pos"]), jnp.asarray(batch["mask"]), jax.random.PRNGKey(0),
+        state, images, ori, pos, jnp.asarray(batch["mask"]), jax.random.PRNGKey(0),
     )
     assert np.isfinite(float(metrics["loss"]))
     # BN clamp applied: every bn scale within [0, 1].
