@@ -26,7 +26,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["undistort_points", "epnp_solve", "epnp_solve_batch"]
+__all__ = ["undistort_points", "epnp_solve", "epnp_solve_batch", "epnp_ransac"]
 
 _GN_ITERS = 10
 _UNDISTORT_ITERS = 20
@@ -399,3 +399,99 @@ def epnp_solve_batch(
         return r, t
 
     return jax.vmap(solve_one)(uv)
+
+
+# ---------------------------------------------------------------------------
+# RANSAC wrapper
+# ---------------------------------------------------------------------------
+
+
+def epnp_ransac(
+    pts3d: jax.Array,
+    pts2d: jax.Array,
+    K: jax.Array,
+    dist: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    n_hypotheses: int = 16,
+    subset_size: int = 6,
+    inlier_threshold_px: float = 8.0,
+    refine: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """RANSAC-robust batched EPnP: (B, N, 2) pixels -> (R, t, inlier_mask).
+
+    Outlier-tolerant variant of :func:`epnp_solve_batch` for noisy keypoint
+    regressors: fixed-count hypothesis loop (jittable), each hypothesis
+    solves EPnP on a random minimal subset via a soft point-weighting (the
+    non-selected points are displaced out of the null-space fit by masking
+    their M-matrix rows), inliers scored by reprojection distance, and the
+    winning hypothesis is Gauss-Newton refined on its inlier set.
+    """
+    n = pts3d.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    fx = K[0, 0]
+    thr_norm = inlier_threshold_px / fx  # pixel threshold in normalized coords
+
+    uv_all = undistort_points(pts2d, K, dist)  # (B, N, 2)
+
+    # Pre-draw subsets (shared across the batch — hypothesis diversity comes
+    # from the subsets, sample-specific noise from the data).
+    subsets = jax.vmap(
+        lambda k: jax.random.choice(k, n, shape=(subset_size,), replace=False)
+    )(jax.random.split(key, n_hypotheses))  # (H, S)
+
+    def solve_sample(uv):  # uv: (N, 2) normalized
+        def hypothesis(subset):
+            sel3d = pts3d[subset]
+            sel2d = uv[subset]
+            r, t = _epnp_normalized(sel3d, sel2d)
+            pc = pts3d @ r.T + t
+            proj = pc[:, :2] / jnp.maximum(pc[:, 2:3], 1e-6)
+            err = jnp.linalg.norm(proj - uv, axis=-1)
+            inliers = (err < thr_norm) & (pc[:, 2] > 0)
+            return r, t, inliers, jnp.sum(inliers)
+
+        rs, ts, inl, counts = jax.vmap(hypothesis)(subsets)
+        best = jnp.argmax(counts)
+        r, t, inliers = rs[best], ts[best], inl[best]
+
+        if refine:
+            # GN refinement weighted by the inlier mask (soft: outliers get
+            # zero residual weight via masking).
+            w = inliers.astype(jnp.float32)[:, None]
+
+            def body(_, rt):
+                r, t = rt
+                pc = pts3d @ r.T + t
+                proj = pc[:, :2] / jnp.maximum(pc[:, 2:3], 1e-6)
+                res = ((proj - uv) * w).reshape(-1)
+                x, y, z = pc[:, 0], pc[:, 1], jnp.maximum(pc[:, 2], 1e-6)
+                inv_z = 1.0 / z
+                du = jnp.stack([inv_z, jnp.zeros_like(z), -x * inv_z * inv_z], axis=-1)
+                dv = jnp.stack([jnp.zeros_like(z), inv_z, -y * inv_z * inv_z], axis=-1)
+                skew_pc = jnp.stack([
+                    jnp.zeros_like(x), -z, y,
+                    z, jnp.zeros_like(x), -x,
+                    -y, x, jnp.zeros_like(x),
+                ], axis=-1).reshape(-1, 3, 3)
+                ju = jnp.concatenate([-jnp.einsum("ni,nij->nj", du, skew_pc), du], -1)
+                jv = jnp.concatenate([-jnp.einsum("ni,nij->nj", dv, skew_pc), dv], -1)
+                jmat = (jnp.stack([ju, jv], 1) * w[:, None, :1]).reshape(-1, 6)
+                delta = _lstsq(jmat, -res)
+                th = jnp.linalg.norm(delta[:3]) + 1e-12
+                k_ = delta[:3] / th
+                kx = jnp.array([
+                    [0.0, -k_[2], k_[1]],
+                    [k_[2], 0.0, -k_[0]],
+                    [-k_[1], k_[0], 0.0],
+                ])
+                r_new = (jnp.eye(3) + jnp.sin(th) * kx + (1 - jnp.cos(th)) * (kx @ kx)) @ r
+                return (r_new, t + delta[3:])
+
+            r, t = jax.lax.fori_loop(0, _GN_ITERS, body, (r, t))
+        bad = ~(jnp.all(jnp.isfinite(r)) & jnp.all(jnp.isfinite(t)))
+        r = jnp.where(bad, jnp.eye(3, dtype=r.dtype), r)
+        t = jnp.where(bad, jnp.asarray([0.0, 0.0, 10.0], t.dtype), t)
+        return r, t, inliers
+
+    return jax.vmap(solve_sample)(uv_all)

@@ -172,6 +172,8 @@ def _dw_kernel(x_hbm, w_ref, mult_ref, bias_ref, out_ref, scratch, sem, *, strid
 
     in_rows = stride * (tile_oh - 1) + 3
     row0 = oh * tile_oh * stride
+    # Slice spans the FULL (8-aligned) padded width: Mosaic requires slice
+    # extents on the sublane dim to be tile-aligned.
     dma = pltpu.make_async_copy(
         x_hbm.at[bi, pl.ds(row0, in_rows), :, pl.ds(ci * bc, bc)],
         scratch,
@@ -231,7 +233,10 @@ def int8_depthwise3x3(
     n_oh = ho // tile_oh
 
     # SAME padding for 3x3 (one halo pixel each side) + channel padding.
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, c_pad - c)))
+    # The padded width is rounded up to the 8-sublane tile so the in-kernel
+    # DMA slice is tile-aligned (Mosaic constraint).
+    w2 = _round_up(wd + 2, 8)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, w2 - wd - 1), (0, c_pad - c)))
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad - c)))
     multp = jnp.pad(mult, (0, c_pad - c)).reshape(1, c_pad)
     biasp = jnp.pad(bias, (0, c_pad - c)).reshape(1, c_pad)
@@ -255,7 +260,7 @@ def int8_depthwise3x3(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ho, wo, c_pad), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((in_rows, wd + 2, bc), jnp.int8),
+            pltpu.VMEM((in_rows, w2, bc), jnp.int8),
             pltpu.SemaphoreType.DMA,
         ],
     )(xp, wp, multp, biasp)

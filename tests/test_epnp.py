@@ -139,3 +139,35 @@ class TestEPnP:
         bbox = np.asarray(kp.create_bbox_from_keypoints(labels))
         assert bbox.shape == (3, 4)
         assert (bbox[:, 2] >= bbox[:, 0]).all() and (bbox[:, 3] >= bbox[:, 1]).all()
+
+
+class TestRANSAC:
+    def test_recovers_pose_with_outliers(self):
+        """With 3 of 11 keypoints grossly wrong, plain EPnP breaks but
+        RANSAC recovers the pose."""
+        from spef_tpu.codec.epnp import epnp_ransac
+
+        camera = SPEED_CAMERA
+        q, pos = make_poses(4, seed=7, z_range=(6, 12))
+        kp = KeyPoints.create(camera)
+        uv = np.asarray(kp.project(jnp.asarray(q), jnp.asarray(pos)))[:, 1:, :]
+        uv_bad = uv.copy()
+        rng = np.random.RandomState(8)
+        uv_bad += rng.randn(*uv.shape) * 1.0  # 1px noise everywhere
+        for b in range(uv.shape[0]):
+            idx = rng.choice(uv.shape[1], 3, replace=False)
+            uv_bad[b, idx] += rng.randn(3, 2) * 300.0  # gross outliers
+
+        K = jnp.asarray(camera.K, jnp.float32)
+        r, t, inliers = epnp_ransac(
+            jnp.asarray(TANGO_3D_KEYPOINTS), jnp.asarray(uv_bad), K,
+            key=jax.random.PRNGKey(3), n_hypotheses=96,
+        )
+        q_est = np.asarray(rot.dcm2quat(r))
+        ang = np.rad2deg(np.asarray(rot.quat_angle(jnp.asarray(q), jnp.asarray(q_est))))
+        pos_err = np.linalg.norm(np.asarray(t) - pos, axis=-1)
+        assert np.median(ang) < 3.0, ang
+        assert np.median(pos_err) < 0.3, pos_err
+        # Inlier masks should exclude most planted outliers (median: an
+        # individual sample can still draw unlucky subsets).
+        assert np.median(np.asarray(inliers).sum(axis=-1)) >= 6
