@@ -2,11 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Pipeline measured (the BASELINE.json north-star config): fused
-preprocess (uint8 -> float normalize) + MobileNetV2 backbone + URSONet
-soft-classification head + softmax + histogram decode (batched eigh), all
-one XLA program on a single chip.  vs_baseline is against the 20k fps/chip
-target from BASELINE.md.
+Pipeline measured (the BASELINE.json north-star config): the QUANTIZED
+deployment path — QAT-converted integer weights (the bit_width-schema
+mixed-precision grid) executed in the weight-only bf16 mode
+(`spef_tpu.quant.int8_model.build_weight_only_forward`), fused
+preprocess (uint8 normalize) + MobileNetV2 + URSONet soft-classification
+heads + softmax + histogram decode (batched eigh), one XLA program, one
+chip.  vs_baseline is against the 20k fps/chip target from BASELINE.md.
+
+Why weight-only: on v5e the faithful int8 executors are VPU-bound on
+activation requantization (~4.2k fps) while this mode matches the bf16
+roofline (~28k fps) with the same quantized weight grid — see
+PERFORMANCE.md.  The bit-exact int8 executors remain available for parity
+validation (`quant/int8_model.py`, `quant/int8_pallas.py`).
 """
 
 import json
@@ -15,6 +23,11 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+try:  # persistent compile cache: repeated driver runs skip the slow compile
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+except Exception:
+    pass
 
 TARGET_FPS = 20_000.0
 BATCH = 256  # best operating point from the batch sweep (256/512/1024)
@@ -26,8 +39,9 @@ ITERS = 20
 def main():
     from spef_tpu.codec.facade import SPEUtils
     from spef_tpu.data.camera import SPEED_CAMERA
-    from spef_tpu.engine import build_predict_fn
     from spef_tpu.models.wrapper import import_model
+    from spef_tpu.quant.convert import convert_qat_params
+    from spef_tpu.quant.int8_model import build_weight_only_forward
 
     spe_utils = SPEUtils.create(
         SPEED_CAMERA,
@@ -36,15 +50,23 @@ def main():
         use_keypoints=False,
     )
     model = import_model(
-        backbone_name="mobilenet_v2",
-        head_name="ursonet",
+        backbone_name="mobilenet_v2_q",
+        head_name="ursonet_q",
         img_size=(IMG, IMG),
         ori_mode="classification",
         n_ori_bins=spe_utils.orientation.n_bins,
         pos_mode="classification",
         n_pos_bins=spe_utils.position.n_bins,
     )
-    predict = jax.jit(build_predict_fn(model, spe_utils))
+    graph = convert_qat_params(model)
+    forward = build_weight_only_forward(graph)
+
+    def predict(images):
+        pred = forward(images)
+        pose = spe_utils.last_activ({"ori_soft": pred[0], "pos_soft": pred[1]})
+        return spe_utils.decode(pose)
+
+    predict = jax.jit(predict)
 
     rng = np.random.RandomState(1001)
     frames = jnp.asarray(rng.randint(0, 256, (BATCH, IMG, IMG, 3), dtype=np.uint8))
@@ -53,6 +75,7 @@ def main():
         jax.block_until_ready(predict(frames))
 
     start = time.perf_counter()
+    out = None
     for _ in range(ITERS):
         out = predict(frames)
     jax.block_until_ready(out)
@@ -62,7 +85,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "frames/sec/chip (preprocess->pose, fp/bf16 float path)",
+                "metric": "frames/sec/chip (preprocess->pose, QAT-quantized weights, bf16 exec)",
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / TARGET_FPS, 4),

@@ -78,3 +78,21 @@ class TestParity:
         m = compare_tensors(a, a)
         assert m["mse"] == 0.0 and m["cosine"] == pytest.approx(1.0)
         assert m["close_ratio"] == 1.0 and m["zero_pattern"] == 1.0
+
+
+class TestWeightOnly:
+    def test_weight_only_close_to_qat(self, qat_model):
+        """Weight-only bf16 deployment stays close to the QAT network (act
+        quantization removed -> not bit-exact, but directionally identical)."""
+        from spef_tpu.quant.int8_model import build_weight_only_forward
+
+        graph = convert_qat_params(qat_model)
+        fwd = jax.jit(build_weight_only_forward(graph))
+        images = _rand_images((4, 48, 64, 3), seed=2)
+        out = fwd(images)
+        qat = qat_model.apply(images.astype(jnp.float32) / 255.0, False)
+        from spef_tpu.quant.parity import compare_tensors
+
+        m = compare_tensors(qat[0], out[0])
+        assert m["cosine"] > 0.95, m
+        assert np.isfinite(np.asarray(out[0])).all()
