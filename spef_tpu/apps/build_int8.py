@@ -100,8 +100,8 @@ def main(argv=None):
         # Warm-start QAT from a float checkpoint (`build_tvm.py:159-162`
         # reuses train(); warm start via manual copy `model.py:92-119`).
         float_model = import_model(
-            backbone_name=cfg.MODEL.BACKBONE.NAME,
-            head_name=cfg.MODEL.HEAD.NAME,
+            backbone_name=cfg.MODEL.BACKBONE.NAME.replace("_brevitas", "").replace("_q", ""),
+            head_name=cfg.MODEL.HEAD.NAME.replace("_brevitas", "").replace("_q", ""),
             img_size=tuple(cfg.DATA.IMG_SIZE),
             params_path=args.fp32_checkpoint,
             ori_mode=cfg.MODEL.HEAD.ORI,
@@ -139,6 +139,14 @@ def main(argv=None):
     score_int8, err_int8 = evaluation(engine_int8, data, spe_utils, split["eval"])
     ladder["int8"] = score_int8
 
+    # Weight-only deployment mode (the production TPU serving path).
+    from spef_tpu.quant.int8_model import build_weight_only_forward
+
+    wo_fwd = build_weight_only_forward(graph)
+    engine_wo = SPEJax(qat_model, spe_utils, forward_fn=wo_fwd)
+    score_wo, err_wo = evaluation(engine_wo, data, spe_utils, split["eval"])
+    ladder["weight_only"] = score_wo
+
     # Parity harness on one batch.
     batch = next(iter(data[split["eval"][0]]))
     report = predict_and_compare(
@@ -161,7 +169,8 @@ def main(argv=None):
     with open(os.path.join(save_folder, "parity_report.json"), "w") as f:
         json.dump(report, f, indent=2)
     save_score_error(save_folder, {k: v for k, v in ladder.items()},
-                     {"qat": err_qat, "int8": err_int8}, name="ladder")
+                     {"qat": err_qat, "int8": err_int8, "weight_only": err_wo},
+                     name="ladder")
     print(f"Saved int8 graph + parity report to {save_folder}")
 
 

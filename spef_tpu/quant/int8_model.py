@@ -116,8 +116,13 @@ def int8_forward(graph: Dict[str, Any], images: jax.Array):
         if "expand" in blk:
             e = blk["expand"]
             h = _matmul_1x1(h, e, h_step, relu=True)
-            h = _requant(h, e["act_step"], e["act_qmax"])
-            h_step = e["act_step"]
+            if "act_step" in e:
+                h = _requant(h, e["act_step"], e["act_qmax"])
+                h_step = e["act_step"]
+            else:
+                # Unquantized expand (bit width (None, None), e.g. block 0 of
+                # the default recipe): float output, no activation grid.
+                h_step = None
         d = blk["depthwise"]
         h = _conv_f32(h, d, relu=True)  # input already float on its grid
         h = _requant(h, d["act_step"], d["act_qmax"])

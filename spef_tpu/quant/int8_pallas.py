@@ -115,30 +115,49 @@ def build_pallas_forward(
             hcur = y
             hstep = step
 
+            float_handoff = False
             if "expand" in blk:
                 e = blk["expand"]
                 m = b * h * w
+                has_grid = "act_step" in e
                 out = mm(
                     hcur.reshape(m, c),
                     e["w_int"].reshape(e["w_int"].shape[-2], e["w_int"].shape[-1]),
                     e["mult_core"] * hstep, e["bias"],
-                    relu=True, out_inv_step=float(1.0 / e["act_step"]),
-                    out_qmax=float(e["act_qmax"]), out_qmin=0.0,
+                    relu=True,
+                    out_inv_step=float(1.0 / e["act_step"]) if has_grid else None,
+                    out_qmax=float(e["act_qmax"]) if has_grid else 127.0,
+                    out_qmin=0.0,
                 )
                 hidden = e["w_int"].shape[-1]
                 hcur = out.reshape(b, h, w, hidden)
-                hstep = e["act_step"]
+                if has_grid:
+                    hstep = e["act_step"]
+                else:
+                    # Unquantized expand (block 0 default recipe): float
+                    # handoff -> the depthwise takes the XLA float path.
+                    hstep = 1.0
+                    float_handoff = True
 
             d = blk["depthwise"]
             hc = hcur.shape[-1]
             # Mosaic cannot lower strided vector slices -> stride-2 layers
-            # (4 of 17) take the XLA depthwise path even on backend='pallas'.
-            dw_fn = dw if d["stride"] == 1 else xla_depthwise3x3
-            hcur = dw_fn(
-                hcur, d["w_int"].reshape(3, 3, hc), d["mult_core"], d["bias"],
-                stride=d["stride"], in_step=float(hstep),
-                out_inv_step=float(1.0 / d["act_step"]), out_qmax=float(d["act_qmax"]),
-            )
+            # (4 of 17) take the XLA depthwise path even on backend='pallas';
+            # float-input depthwise likewise.
+            dw_fn = dw if (d["stride"] == 1 and not float_handoff) else xla_depthwise3x3
+            if float_handoff:
+                # xla_depthwise3x3 accepts float input transparently.
+                hcur = xla_depthwise3x3(
+                    hcur, d["w_int"].reshape(3, 3, hc), d["mult_core"], d["bias"],
+                    stride=d["stride"], in_step=1.0,
+                    out_inv_step=float(1.0 / d["act_step"]), out_qmax=float(d["act_qmax"]),
+                )
+            else:
+                hcur = dw_fn(
+                    hcur, d["w_int"].reshape(3, 3, hc), d["mult_core"], d["bias"],
+                    stride=d["stride"], in_step=float(hstep),
+                    out_inv_step=float(1.0 / d["act_step"]), out_qmax=float(d["act_qmax"]),
+                )
             hstep = d["act_step"]
             hb, hh, hw, _ = hcur.shape
 

@@ -26,6 +26,8 @@ def _flatten_by_category(tree) -> Dict[str, List[Tuple[str, np.ndarray]]]:
     for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
         keys = [str(getattr(k, "key", k)) for k in path]
         name = keys[-1]
+        if name == "log2_scale":  # quantizer parameter, no float counterpart
+            continue
         full = "/".join(keys)
         for cat in _CATEGORIES:
             if name == cat or name.endswith("_" + cat):
