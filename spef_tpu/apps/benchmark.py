@@ -52,7 +52,8 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--paths", nargs="*", default=["float", "forward"],
-                        choices=["float", "forward", "int8_xla", "int8_pallas", "train"])
+                        choices=["float", "forward", "int8_xla", "int8_pallas",
+                                 "weight_only", "train"])
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--img", type=int, nargs=2, default=(256, 256))
     parser.add_argument("--iters", type=int, default=20)
@@ -113,8 +114,9 @@ def main(argv=None):
         dt = (time.perf_counter() - t0) / max(args.iters // 2, 5)
         results["train"] = {"items_per_sec": args.batch / dt, "ms_per_batch": dt * 1e3}
 
-    if {"int8_xla", "int8_pallas"} & set(args.paths):
+    if {"int8_xla", "int8_pallas", "weight_only"} & set(args.paths):
         from spef_tpu.quant.convert import convert_qat_params
+        from spef_tpu.quant.int8_model import build_weight_only_forward
         from spef_tpu.quant.int8_pallas import build_pallas_forward
 
         qmodel = import_model(
@@ -123,10 +125,15 @@ def main(argv=None):
             pos_mode="classification", n_pos_bins=spe.position.n_bins,
         )
         graph = convert_qat_params(qmodel)
-        for name, backend in (("int8_xla", "xla"), ("int8_pallas", "pallas")):
+        builders = {
+            "int8_xla": lambda: build_pallas_forward(graph, backend="xla"),
+            "int8_pallas": lambda: build_pallas_forward(graph, backend="pallas"),
+            "weight_only": lambda: build_weight_only_forward(graph),
+        }
+        for name, builder in builders.items():
             if name not in args.paths:
                 continue
-            fwd = build_pallas_forward(graph, backend=backend)
+            fwd = builder()
 
             def predict(im, fwd=fwd):
                 pred = fwd(im)
