@@ -74,7 +74,31 @@ DSPEED_CAMERA = Camera(fx=0.0176, fy=0.0176, nu=1920, nv=1200, ppx=5.86e-6, ppy=
 
 
 def load_camera(dataset: str) -> Camera:
-    """Camera lookup by dataset name/path (reference: `import_dataset.py:60-84`)."""
+    """Camera lookup by dataset name/path (reference: `import_dataset.py:60-84`).
+
+    Extensions over the reference: a ``camera.json`` file in the dataset
+    root overrides the registry (SPEED+ ships one); unknown dataset names
+    fall back to the SPEED/D-SPEED intrinsics with a warning instead of
+    failing (synthetic/custom datasets use the same camera).
+    """
+    import json
+    import os
+    import warnings
+
+    for root in (dataset, os.path.dirname(dataset.rstrip("/"))):
+        cam_file = os.path.join(root, "camera.json")
+        if os.path.isfile(cam_file):
+            with open(cam_file) as f:
+                c = json.load(f)
+            dist = c.get("dist_coeffs", c.get("distCoeffs"))
+            return Camera(
+                fx=c["fx"], fy=c["fy"],
+                nu=c.get("Nu", c.get("nu")),
+                nv=c.get("Nv", c.get("nv")),
+                ppx=c.get("ppx", 5.86e-6), ppy=c.get("ppy", 5.86e-6),
+                dist_coeffs=tuple(dist) if dist else None,
+            )
+
     name = dataset.rstrip("/").split("/")[-1].lower()
     if "dspeed" in dataset.lower():
         return DSPEED_CAMERA
@@ -82,4 +106,7 @@ def load_camera(dataset: str) -> Camera:
         return SPEED_PLUS_CAMERA
     if name == "speed":
         return SPEED_CAMERA
-    raise ValueError(f"Dataset {dataset} not implemented")
+    warnings.warn(
+        f"Dataset {dataset}: unknown camera; falling back to the SPEED/D-SPEED intrinsics"
+    )
+    return DSPEED_CAMERA
