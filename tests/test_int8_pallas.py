@@ -52,3 +52,28 @@ def test_pallas_matches_qat(setup):
     qat_out = model.apply(images.astype(jnp.float32) / 255.0, False)
     m = compare_tensors(qat_out[0], pal_out[0])
     assert m["cosine"] > 0.999, m
+
+
+def test_default_recipe_unquantized_expand():
+    """The default bit-width recipe leaves block 0's expand conv unquantized
+    ((None, None)) — both executors must handle the float handoff."""
+    from spef_tpu.quant.int8_model import build_int8_forward as build_ref
+
+    model = import_model(
+        backbone_name="small_mobile_q", head_name="ursonet_q", img_size=(32, 48),
+        bit_width=None,  # default recipe
+        ori_mode="classification", n_ori_bins=64, pos_mode="regression", seed=13,
+    )
+    graph = convert_qat_params(model)
+    assert "act_step" not in graph["blocks"][0]["expand"]  # the interesting case
+
+    images = jnp.asarray(
+        np.random.RandomState(9).randint(0, 256, (2, 32, 48, 3), dtype=np.uint8)
+    )
+    ref_out = build_ref(graph)(images)
+    with pltpu.force_tpu_interpret_mode():
+        pal_out = build_pallas_forward(graph, backend="pallas")(images)
+    xla_out = build_pallas_forward(graph, backend="xla")(images)
+    for a, b in ((ref_out, pal_out), (ref_out, xla_out)):
+        m = compare_tensors(a[0], b[0])
+        assert m["cosine"] > 0.9999, m
