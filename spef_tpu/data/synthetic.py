@@ -105,13 +105,21 @@ def render_frame(
     img = np.zeros((h, w, 3), np.uint8)
     depth = float(pos[2])
     thickness = max(1, int(round(60.0 / depth * min(sx, sy) * 3)))
-    for a, b in _EDGES:
+    # Distinct per-edge colors: a plain gray wireframe is nearly symmetric
+    # under 180-degree flips, which makes orientation unlearnable from the
+    # renders; color-coding the edges restores the asymmetry a textured
+    # spacecraft has.
+    edge_rng = np.random.RandomState(42)
+    edge_colors = edge_rng.randint(80, 256, (len(_EDGES), 3)).tolist()
+    for (a, b), color in zip(_EDGES, edge_colors):
         pa = tuple(np.round(uv[a]).astype(int))
         pb = tuple(np.round(uv[b]).astype(int))
-        cv2.line(img, pa, pb, (190, 190, 200), thickness, lineType=cv2.LINE_AA)
+        cv2.line(img, pa, pb, tuple(int(c) for c in color), thickness, lineType=cv2.LINE_AA)
+    point_colors = edge_rng.randint(100, 256, (uv.shape[0], 3)).tolist()
     for i in range(uv.shape[0]):
         p = tuple(np.round(uv[i]).astype(int))
-        cv2.circle(img, p, thickness + 1, (255, 255, 255), -1, lineType=cv2.LINE_AA)
+        cv2.circle(img, p, thickness + 1, tuple(int(c) for c in point_colors[i]), -1,
+                   lineType=cv2.LINE_AA)
     if noise_std > 0:
         rng = rng or np.random.RandomState(0)
         noise = rng.randn(h, w, 1) * noise_std
