@@ -1,20 +1,27 @@
 """Pallas TPU kernels for the int8 inference path.
 
 The hot ops of the quantized MobileNet pipeline, fused so activations live
-in HBM as int8 (half the bf16 traffic) and matmuls hit the MXU in int8:
+in HBM as int8 (half the bf16 traffic):
 
-  * :func:`int8_matmul_requant` — X(int8) @ W(int8) -> int32 on the MXU,
-    with the whole epilogue fused in-kernel: per-channel dequant multiplier,
-    bias, optional ReLU, requantization to the output grid, optional
-    residual add on a shared grid; int8 out.  Covers every 1x1 convolution
-    (expansion / projection / head conv) and the FC head.
-  * :func:`int8_depthwise3x3` — 3x3 depthwise conv on int8 activations,
-    computed per (batch, channel-tile) block entirely in VMEM with shifted
-    multiply-accumulate on the VPU; fused requant epilogue, int8 out.
+  * :func:`int8_matmul_requant` — integer matmul on the MXU (int8 values
+    computed exactly via bf16 — see ``_dot_exact``) with the whole epilogue
+    fused in-kernel: per-channel dequant multiplier, bias, optional ReLU,
+    requantization to the output grid, optional residual add on a shared
+    grid; int8 out.  Covers every 1x1 convolution (expansion / projection /
+    head conv) and the FC head.
+  * :func:`int8_depthwise3x3` — 3x3 depthwise conv on int8 activations:
+    overlapping halo row-slabs DMA'd from HBM per (batch, row-tile,
+    channel-tile) program, shifted multiply-accumulate on the VPU, fused
+    requant epilogue, int8 out.
+  * ``xla_*`` fallbacks with identical signatures (single fused XLA
+    program; fast to compile, used for stride-2 depthwise and A/B baselines).
 
 These are the TPU-native counterparts of FINN's folded HLS dataflow kernels
 (`/root/reference/src/finn/folding.py`) / TVM's Ansor-tuned ARM kernels —
-the "native backend" of this framework (SURVEY.md §2.2).
+the "native backend" of this framework (SURVEY.md §2.2).  Measured context
+in PERFORMANCE.md: the bit-exact executors are activation-requant-bound;
+the production serving path is weight-only quantization at the bf16
+roofline.
 """
 
 from __future__ import annotations
