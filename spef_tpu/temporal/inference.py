@@ -218,3 +218,72 @@ class Inference:
         )
         pose_video = self._add_viz(pose_video)
         return pose_still, latency_ms, pose_video
+
+
+def multi_sequence_inference(
+    spe_utils: SPEUtils,
+    forward_fn,
+    sequences: jax.Array,
+    filter_video: bool = True,
+    ori_filter: Optional[dict] = None,
+    pos_filter: Optional[dict] = None,
+    frame_batch: int = 64,
+) -> Dict[str, jax.Array]:
+    """Batched temporal inference over MULTIPLE equal-length sequences.
+
+    ``sequences``: (S, T, H, W, C).  The CNN forward flattens all frames of
+    all sequences into large device batches (MXU-efficient), and the
+    temporal stage vmaps the scan filter + continuity across the sequence
+    axis — the SURVEY §7 design ("lax.scan over frames, vmapped across
+    sequences") for the 11-sequence D-SPEED video benchmark.  Output arrays
+    carry a leading (S, T, ...) shape.
+    """
+    ori_cfg = {**ORI_FILTER_DEFAULTS, **(ori_filter or {})}
+    pos_cfg = {**POS_FILTER_DEFAULTS, **(pos_filter or {})}
+    s, t = sequences.shape[0], sequences.shape[1]
+    flat = sequences.reshape(s * t, *sequences.shape[2:])
+
+    @jax.jit
+    def fwd(chunk):
+        if chunk.dtype == jnp.uint8:
+            chunk = chunk.astype(jnp.float32) / 255.0
+        pred = forward_fn(chunk)
+        pose = {"ori_soft": pred[0], "pos_soft": pred[1]}
+        pose = spe_utils.last_activ(pose)
+        return pose["ori_soft"], pose["pos_soft"]
+
+    ori_chunks, pos_chunks = [], []
+    for start in range(0, s * t, frame_batch):
+        o, p = fwd(flat[start : start + frame_batch])
+        ori_chunks.append(o)
+        pos_chunks.append(p)
+
+    @jax.jit
+    def postprocess(ori_chunks, pos_chunks):
+        ori_soft = jnp.concatenate(ori_chunks).reshape(s, t, -1)
+        pos_soft = jnp.concatenate(pos_chunks).reshape(s, t, -1)
+
+        def per_seq(o_soft, p_soft):
+            ori_still, _ = spe_utils.orientation.decode_batch(o_soft)
+            pos_still = spe_utils.position.decode_batch(p_soft)
+            ori_still = quaternion_continuity_scan(ori_still)
+            out = {"ori_still": ori_still, "pos_still": pos_still}
+            if filter_video:
+                from spef_tpu.temporal.pdf_filter import scan_filter
+
+                o_f, o_d = scan_filter(o_soft, ori_cfg["n"], ori_cfg["alpha"],
+                                       ori_cfg["distance_metric"])
+                p_f, p_d = scan_filter(p_soft, pos_cfg["n"], pos_cfg["alpha"],
+                                       pos_cfg["distance_metric"])
+                ov, _ = spe_utils.orientation.decode_batch(o_f)
+                out.update(
+                    ori_video=quaternion_continuity_scan(ov),
+                    pos_video=spe_utils.position.decode_batch(p_f),
+                    ori_distance=o_d,
+                    pos_distance=p_d,
+                )
+            return out
+
+        return jax.vmap(per_seq)(ori_soft, pos_soft)
+
+    return postprocess(ori_chunks, pos_chunks)

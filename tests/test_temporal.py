@@ -136,3 +136,40 @@ class TestAlternativeFilters:
         ema = filters.ExponentialMovingAverage(alpha=0.25)
         ema.update(np.zeros(2))
         np.testing.assert_allclose(ema.update(np.ones(2)), [0.25, 0.25])
+
+
+class TestMultiSequence:
+    def test_matches_per_sequence(self):
+        """vmapped multi-sequence inference == per-sequence sequence_inference."""
+        import jax
+
+        from spef_tpu.codec.facade import SPEUtils
+        from spef_tpu.data.camera import SPEED_CAMERA
+        from spef_tpu.models.wrapper import import_model
+        from spef_tpu.temporal.inference import multi_sequence_inference, sequence_inference
+
+        spe = SPEUtils.create(SPEED_CAMERA, ori_mode="classification", n_ori_bins_per_dim=4,
+                              pos_mode="classification", n_pos_bins_per_dim=4,
+                              use_keypoints=False)
+        model = import_model(
+            backbone_name="small", head_name="ursonet", img_size=(32, 32),
+            ori_mode="classification", n_ori_bins=spe.orientation.n_bins,
+            pos_mode="classification", n_pos_bins=spe.position.n_bins,
+        )
+
+        def forward_fn(images):
+            return model.apply(images, False)
+
+        rng = np.random.RandomState(0)
+        seqs = rng.randint(0, 256, (3, 12, 32, 32, 3), np.uint8)
+        multi = multi_sequence_inference(spe, forward_fn, jnp.asarray(seqs), frame_batch=8)
+        for i in range(3):
+            single = sequence_inference(spe, forward_fn, jnp.asarray(seqs[i]), frame_batch=8)
+            # bf16 forward accumulates in different chunk groupings between
+            # the two paths -> ~1e-4 level differences are expected.
+            np.testing.assert_allclose(np.asarray(multi["ori_video"][i]),
+                                       np.asarray(single["ori_video"]), atol=2e-3)
+            np.testing.assert_allclose(np.asarray(multi["pos_still"][i]),
+                                       np.asarray(single["pos_still"]), atol=2e-3)
+            np.testing.assert_allclose(np.asarray(multi["ori_distance"][i]),
+                                       np.asarray(single["ori_distance"]), atol=1e-4)
