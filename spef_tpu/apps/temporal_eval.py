@@ -62,6 +62,50 @@ def evaluate_sequence(spe_utils, forward_fn, loader, filter_video=True):
     return res, truth, metrics
 
 
+def run_batched_sequences(spe_utils, forward_fn, data, seq_names, out_dir,
+                          filter_video=True, plots=False):
+    """All equal-length sequences through one vmapped program."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from spef_tpu.pose.score import score_batch
+    from spef_tpu.temporal.inference import multi_sequence_inference
+
+    frames_all, ori_all, pos_all = [], [], []
+    for seq in seq_names:
+        frames, oris, poss = [], [], []
+        for batch in data[seq]:
+            n_valid = int(batch["mask"].sum())
+            frames.append(batch["images"][:n_valid])
+            oris.append(batch["ori"][:n_valid])
+            poss.append(batch["pos"][:n_valid])
+        frames_all.append(np.concatenate(frames))
+        ori_all.append(np.concatenate(oris))
+        pos_all.append(np.concatenate(poss))
+    t_min = min(f.shape[0] for f in frames_all)
+    seqs = np.stack([f[:t_min] for f in frames_all])
+
+    res = multi_sequence_inference(spe_utils, forward_fn, jnp.asarray(seqs),
+                                   filter_video=filter_video)
+    summary = {}
+    for i, seq in enumerate(seq_names):
+        truth_o = jnp.asarray(ori_all[i][:t_min])
+        truth_p = jnp.asarray(pos_all[i][:t_min])
+        still = score_batch(truth_o, truth_p, res["ori_still"][i], res["pos_still"][i])
+        entry = {"still": {k: float(v) for k, v in still.items()}}
+        line = f"[{seq}] still esa={entry['still']['esa_score']:.4f}"
+        if filter_video:
+            video = score_batch(truth_o, truth_p, res["ori_video"][i], res["pos_video"][i])
+            entry["video"] = {k: float(v) for k, v in video.items()}
+            line += f"  video esa={entry['video']['esa_score']:.4f}"
+        summary[seq] = entry
+        print(line)
+    with open(os.path.join(out_dir, "temporal_metrics.json"), "w") as f:
+        _json.dump(summary, f, indent=2)
+    print(f"Saved metrics to {out_dir}/temporal_metrics.json")
+
+
 def make_plots(out_dir, seq_name, metrics):
     """Reference-style report figures (`temporal.py:297-517`), condensed."""
     import matplotlib
@@ -110,6 +154,8 @@ def main(argv=None):
     parser.add_argument("--data", required=True, help="video dataset root")
     parser.add_argument("--no-filter", action="store_true")
     parser.add_argument("--plots", action="store_true")
+    parser.add_argument("--batch-sequences", action="store_true",
+                        help="fuse equal-length sequences into one vmapped program")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 
@@ -151,6 +197,14 @@ def main(argv=None):
     out_dir = args.out or os.path.join(args.experiment, "temporal")
     os.makedirs(out_dir, exist_ok=True)
     summary = {}
+
+    if args.batch_sequences:
+        # Equal-length sequences (the 11x1500 D-SPEED set): one fused
+        # multi-sequence program (vmapped scan) instead of a serial loop.
+        run_batched_sequences(spe_utils, forward_fn, data, split["eval"], out_dir,
+                              filter_video=not args.no_filter, plots=args.plots)
+        return
+
     for seq in split["eval"]:
         _, _, metrics = evaluate_sequence(
             spe_utils, forward_fn, data[seq], filter_video=not args.no_filter
