@@ -99,7 +99,7 @@ def int8_matmul_requant(
     out_qmax: float = 127.0,
     out_qmin: float = 0.0,
     block_m: int = 2048,
-    block_n: int = 512,
+    block_n: int = 256,  # tiling sweep: see benchmarks/mm_tuning.json
 ):
     m, k = x.shape
     _, n = w.shape
