@@ -224,11 +224,27 @@ def _make_loaders(
     return loaders
 
 
+#: Bundled reference train/valid split of SPEED (10,200 / 1,800 entries) —
+#: verbatim dataset metadata from the reference's
+#: `src/data/datasets/speed_split/{train_no_valid,valid}.json`, vendored so
+#: SPEED-score comparisons against the published baselines use the exact
+#: same images (reference `datasets/speed.py:89-96`).
+SPEED_SPLIT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "speed_split")
+
+
+def _speed_split_file(path: str, name: str) -> str:
+    """Per-dataset split override if present, else the bundled reference split."""
+    local = os.path.join(path, name)
+    return local if os.path.isfile(local) else os.path.join(SPEED_SPLIT_DIR, name)
+
+
 def import_speed(path, batch_size, img_size, shuffle=False, seed=1001, rot_augment=None):
     """SPEED splits: train/valid/real (`datasets/speed.py:35-118`)."""
     splits = {
-        "train": (os.path.join(path, "images", "train"), os.path.join(path, "train_no_valid.json")),
-        "valid": (os.path.join(path, "images", "train"), os.path.join(path, "valid.json")),
+        "train": (os.path.join(path, "images", "train"),
+                  _speed_split_file(path, "train_no_valid.json")),
+        "valid": (os.path.join(path, "images", "train"),
+                  _speed_split_file(path, "valid.json")),
         "real": (os.path.join(path, "images", "real"), os.path.join(path, "real.json")),
     }
     data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=16,

@@ -62,6 +62,26 @@ class TestSpeedDataset:
                 for r in manifest.records]
         assert nums == sorted(nums)
 
+    def test_bundled_reference_split(self, tmp_path):
+        """A SPEED dir WITHOUT split files picks up the vendored reference
+        split (exact 10,200 / 1,800 lists, `datasets/speed_split/*.json`)."""
+        root = str(tmp_path / "speed")
+        os.makedirs(os.path.join(root, "images", "train"), exist_ok=True)
+        data, split = load_dataset(root, batch_size=4, img_size=(32, 48))
+        assert len(data["train"].manifest) == 10200
+        assert len(data["valid"].manifest) == 1800
+        # First/last filenames after the numeric video-order sort.
+        train_names = [os.path.basename(r.image_path) for r in data["train"].manifest.records]
+        valid_names = [os.path.basename(r.image_path) for r in data["valid"].manifest.records]
+        assert train_names[0] == "img000001.jpg" and train_names[-1] == "img014998.jpg"
+        assert valid_names[0] == "img000006.jpg" and valid_names[-1] == "img014988.jpg"
+        assert not (set(train_names) & set(valid_names))
+
+    def test_local_split_overrides_bundled(self, tmp_path):
+        root = _write_speed_layout(str(tmp_path / "speed"))
+        data, _ = load_dataset(root, batch_size=3, img_size=(32, 48))
+        assert len(data["train"].manifest) == 3  # local files win
+
 
 class TestEngine:
     def test_predict_contract(self):

@@ -80,6 +80,37 @@ class TestParity:
         assert m["close_ratio"] == 1.0 and m["zero_pattern"] == 1.0
 
 
+class TestCarry:
+    def test_carry_bit_exact_vs_int8_model(self, qat_model):
+        """The conv-form int8-activation-carry executor is bit-identical to
+        the readable int8 executor (same grids; exact integer arithmetic via
+        bf16 operands + f32 accumulation)."""
+        from spef_tpu.quant.int8_carry import build_int8_carry_forward
+
+        graph = convert_qat_params(qat_model)
+        f_ref = jax.jit(build_int8_forward(graph))
+        f_carry = jax.jit(build_int8_carry_forward(graph))
+        images = _rand_images((4, 48, 64, 3), seed=5)
+        o1, p1 = f_ref(images)
+        o2, p2 = f_carry(images)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+    def test_carry_matches_qat_fake_quant(self, qat_model):
+        from spef_tpu.quant.int8_carry import build_int8_carry_forward
+
+        graph = convert_qat_params(qat_model)
+        carry_fwd = jax.jit(build_int8_carry_forward(graph))
+
+        def qat_fwd(images_f):
+            return qat_model.apply(images_f, False)
+
+        images = _rand_images((4, 48, 64, 3), seed=6)
+        report = predict_and_compare(qat_fwd, carry_fwd, images)
+        assert report["ori_raw"]["cosine"] > 0.999, report
+        assert report["pos_raw"]["cosine"] > 0.999, report
+
+
 class TestWeightOnly:
     def test_weight_only_close_to_qat(self, qat_model):
         """Weight-only bf16 deployment stays close to the QAT network (act
