@@ -22,7 +22,8 @@ import traceback
 import jax
 
 
-def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 1001) -> dict:
+def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 1001,
+                   data_parallel: bool = False) -> dict:
     from spef_tpu.codec.facade import SPEUtils
     from spef_tpu.config.train_config import save_config
     from spef_tpu.data.camera import load_camera
@@ -105,11 +106,18 @@ def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 10
     except ImportError:
         pass
 
+    mesh = None
+    if data_parallel and len(jax.devices()) > 1:
+        from spef_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"Data-parallel training over {mesh.devices.size} devices\n")
+
     trainer = Trainer(
         spe_utils, spe_loss, camera,
         rot_augment=False,  # handled host-side in the loader (above)
         other_augment=cfg.DATA.OTHER_AUGMENT,
-        clip_batchnorm=cfg.TRAIN.CLIP_BATCHNORM, seed=seed,
+        clip_batchnorm=cfg.TRAIN.CLIP_BATCHNORM, seed=seed, mesh=mesh,
     )
     state, rec_loss, rec_score, rec_error = trainer.fit(
         state, data, cfg.TRAIN.N_EPOCH, scheduler, split["train"], writer=writer,
@@ -119,7 +127,7 @@ def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 10
 
     # Final evaluation through the engine + persistence.
     model.variables = {"params": state.params, "batch_stats": state.batch_stats}
-    engine = SPEJax(model, spe_utils)
+    engine = SPEJax(model, spe_utils, mesh=mesh)
     eval_score, eval_error = evaluation(engine, data, spe_utils, split["eval"])
     save_score_error(save_folder, eval_score, eval_error)
     save_model(os.path.join(save_folder, "model"), model, bit_width)
@@ -134,6 +142,8 @@ def main(argv=None):
     parser.add_argument("--experiments", help="folder of exp_* configs")
     parser.add_argument("--out", default="experiments/train", help="output root")
     parser.add_argument("--seed", type=int, default=1001)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard batches over all visible devices (DP over the mesh)")
     args = parser.parse_args(argv)
 
     if args.config:
@@ -152,7 +162,8 @@ def main(argv=None):
             continue
         try:
             cfg = load_config(paths["config"])
-            run_experiment(name, cfg, paths["bit_width"], args.out, args.seed)
+            run_experiment(name, cfg, paths["bit_width"], args.out, args.seed,
+                           data_parallel=args.data_parallel)
         except Exception:
             # Per-experiment error isolation (reference `train.py:106-131`).
             os.makedirs(out_dir, exist_ok=True)

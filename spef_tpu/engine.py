@@ -88,9 +88,14 @@ class SPEJax:
         decode: bool = True,
         forward_fn: Optional[Callable] = None,
         donate: bool = False,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — input batches are
+        sharded over the leading axis so evaluation/serving throughput fans
+        out across all chips (SURVEY.md §2.3's batch-sharded eval)."""
         self.model = model
         self.spe_utils = spe_utils
+        self.mesh = mesh
         self._predict = jax.jit(build_predict_fn(model, spe_utils, decode, forward_fn))
 
     def predict(self, images) -> Tuple[Dict[str, jax.Array], float]:
@@ -100,7 +105,12 @@ class SPEJax:
         execution (block_until_ready), the pose dict holds device arrays
         (callers convert with np.asarray when needed).
         """
-        images = jnp.asarray(images)
+        if self.mesh is not None:
+            from spef_tpu.parallel.mesh import shard_batch
+
+            images = shard_batch(self.mesh, jnp.asarray(images))
+        else:
+            images = jnp.asarray(images)
         start = time.perf_counter()
         pose = self._predict(images)
         pose = jax.block_until_ready(pose)

@@ -26,6 +26,7 @@ import numpy as np
 from spef_tpu.codec.facade import SPEUtils
 from spef_tpu.data.augment import train_augment
 from spef_tpu.data.camera import Camera
+from spef_tpu.parallel.mesh import replicate, shard_batch
 from spef_tpu.pose.score import pose_errors
 from spef_tpu.train.loss import SPELoss
 from spef_tpu.train.optimizer import set_learning_rate
@@ -68,7 +69,13 @@ class Trainer:
         other_augment: bool = False,
         clip_batchnorm: bool = False,
         seed: int = 1001,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` for data-parallel training
+        (SURVEY.md §2.3): batches are sharded over the leading axis, state is
+        replicated, and XLA inserts the gradient ``psum`` over ICI.  The
+        logical program is unchanged, so the loss trajectory matches
+        single-device training bit-for-up-to-reduction-order."""
         self.spe_utils = spe_utils
         self.spe_loss = spe_loss
         self.camera = camera or spe_utils.camera
@@ -76,6 +83,7 @@ class Trainer:
         self.other_augment = other_augment
         self.clip_batchnorm = clip_batchnorm
         self.seed = seed
+        self.mesh = mesh
         # Augmentation runs as its own jitted program: embedded in the train
         # step, XLA schedules the warp gathers pathologically (~200 ms of
         # fusion stalls at 64x240x384 — profiled); standalone they cost
@@ -183,6 +191,13 @@ class Trainer:
         the reference lacks — it is save-only, SURVEY.md §5).
         """
         assert "train" in split and "valid" in split
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            bs = data["train"].batch_size
+            assert bs % n_dev == 0, (
+                f"batch size {bs} must divide over the {n_dev}-device mesh"
+            )
+            state = replicate(self.mesh, state)
         best_loss = 1e6
         best_params = None
         best_epoch = 1
@@ -199,8 +214,13 @@ class Trainer:
             best_loss = float(meta.get("best_loss", best_loss))
             best_epoch = int(meta.get("best_epoch", best_epoch))
             rng = jax.random.PRNGKey(self.seed + start_epoch * 7919)
+            if self.mesh is not None:
+                state = replicate(self.mesh, state)
             if verbose:
                 print(f"Resumed from epoch {start_epoch - 1} (best_loss={best_loss:.4f})")
+
+        _put = (lambda x: shard_batch(self.mesh, jnp.asarray(x))) if self.mesh is not None \
+            else jnp.asarray
 
         for epoch in range(start_epoch, n_epochs + 1):
             for phase in split:
@@ -209,19 +229,19 @@ class Trainer:
                     n_valid = int(batch["mask"].sum())
                     if phase == "train":
                         rng, step_rng = jax.random.split(rng)
-                        images = jnp.asarray(batch["images"])
-                        ori = jnp.asarray(batch["ori"])
-                        pos_t = jnp.asarray(batch["pos"])
+                        images = _put(batch["images"])
+                        ori = _put(batch["ori"])
+                        pos_t = _put(batch["pos"])
                         if self._augment is not None:
                             rng, aug_rng = jax.random.split(rng)
                             images, ori, pos_t = self._augment(images, ori, pos_t, aug_rng)
                         state, metrics = self._train_step(
-                            state, images, ori, pos_t, jnp.asarray(batch["mask"]), step_rng,
+                            state, images, ori, pos_t, _put(batch["mask"]), step_rng,
                         )
                     else:
                         metrics = self._eval_step(
-                            state, jnp.asarray(batch["images"]), jnp.asarray(batch["ori"]),
-                            jnp.asarray(batch["pos"]), jnp.asarray(batch["mask"]),
+                            state, _put(batch["images"]), _put(batch["ori"]),
+                            _put(batch["pos"]), _put(batch["mask"]),
                         )
                     host = {k: float(v) for k, v in metrics.items() if not k.startswith("_")}
                     if not np.isfinite(host["loss"]):
