@@ -55,6 +55,12 @@ def main(argv=None):
     parser.add_argument("--fp32-checkpoint", default=None)
     parser.add_argument("--qat-checkpoint", default=None)
     parser.add_argument("--qat-epochs", type=int, default=0)
+    parser.add_argument("--calibrate", default=None,
+                        choices=("absmax", "percentile", "mse", "entropy"),
+                        help="PTQ activation calibration from data (no QAT needed) — "
+                             "the reference's build_nvidia.py:30-127 calibration modes")
+    parser.add_argument("--calibration-batches", type=int, default=256)
+    parser.add_argument("--percentile", type=float, default=99.99)
     parser.add_argument("--seed", type=int, default=1001)
     args = parser.parse_args(argv)
 
@@ -111,6 +117,23 @@ def main(argv=None):
         )
         qat_model.variables = copy_params(float_model.variables, qat_model.variables)
         print("Warm-started QAT model from FP32 checkpoint")
+
+    if args.calibrate:
+        # PTQ: observe float activations over calibration batches, choose
+        # every grid by the selected criterion, and write the scales back
+        # onto the QAT params so any subsequent QAT fine-tune (and the
+        # conversion below) starts from the calibrated grids — the
+        # calibrate-then-QAT recipe of `build_nvidia.py:209-276`.
+        from spef_tpu.quant.calibrate import calibrate_graph, write_scales_to_params
+
+        graph0 = convert_qat_params(qat_model, bit_width)
+        batches = (b["images"] for b in data["train"])
+        _, amaxes = calibrate_graph(
+            graph0, batches, method=args.calibrate, percentile=args.percentile,
+            max_batches=args.calibration_batches,
+        )
+        qat_model.variables = write_scales_to_params(qat_model.variables, amaxes)
+        print(f"Calibrated {len(amaxes)} activation grids ({args.calibrate})")
 
     spe_loss = SPELoss(cfg.MODEL.HEAD.ORI, cfg.MODEL.HEAD.POS, beta=1, norm_distance=True)
 
