@@ -88,57 +88,57 @@ def run_batched_sequences(spe_utils, forward_fn, data, seq_names, out_dir,
 
     res = multi_sequence_inference(spe_utils, forward_fn, jnp.asarray(seqs),
                                    filter_video=filter_video)
+    from spef_tpu.temporal.report import (
+        sequence_figures,
+        sequence_metrics,
+        write_workbooks,
+    )
+
     summary = {}
+    books = {"still": {}, "video": {}, "dist": {}}
     for i, seq in enumerate(seq_names):
         truth_o = jnp.asarray(ori_all[i][:t_min])
         truth_p = jnp.asarray(pos_all[i][:t_min])
         still = score_batch(truth_o, truth_p, res["ori_still"][i], res["pos_still"][i])
         entry = {"still": {k: float(v) for k, v in still.items()}}
         line = f"[{seq}] still esa={entry['still']['esa_score']:.4f}"
+        rkwargs = {}
         if filter_video:
             video = score_batch(truth_o, truth_p, res["ori_video"][i], res["pos_video"][i])
             entry["video"] = {k: float(v) for k, v in video.items()}
             line += f"  video esa={entry['video']['esa_score']:.4f}"
+            rkwargs = {
+                "video_ori": np.asarray(res["ori_video"][i]),
+                "video_pos": np.asarray(res["pos_video"][i]),
+                "ori_distance": np.asarray(res["ori_distance"][i]),
+                "pos_distance": np.asarray(res["pos_distance"][i]),
+            }
         summary[seq] = entry
         print(line)
+        rargs = (np.asarray(truth_o), np.asarray(truth_p),
+                 np.asarray(res["ori_still"][i]), np.asarray(res["pos_still"][i]))
+        sm, vm, dm = sequence_metrics(*rargs, **rkwargs)
+        books["still"][seq], books["video"][seq], books["dist"][seq] = sm, vm, dm
+        if plots:
+            sequence_figures(out_dir, seq, *rargs, **rkwargs)
+    write_workbooks(out_dir, books["still"], books["video"], books["dist"])
     with open(os.path.join(out_dir, "temporal_metrics.json"), "w") as f:
         _json.dump(summary, f, indent=2)
     print(f"Saved metrics to {out_dir}/temporal_metrics.json")
 
 
-def make_plots(out_dir, seq_name, metrics):
-    """Reference-style report figures (`temporal.py:297-517`), condensed."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    os.makedirs(out_dir, exist_ok=True)
-    et = np.asarray(metrics["euler_true"])
-    es = np.asarray(metrics["euler_still"])
-    fig, axes = plt.subplots(3, 1, figsize=(10, 8), sharex=True)
-    names = ["yaw", "pitch", "roll"]
-    for i, ax in enumerate(axes):
-        ax.plot(et[:, i], label="true", lw=1)
-        ax.plot(es[:, i], label="still", lw=1, alpha=0.7)
-        if "euler_video" in metrics:
-            ev = np.asarray(metrics["euler_video"])
-            ax.plot(ev[:, i], label="video", lw=1, alpha=0.7)
-        ax.set_ylabel(f"{names[i]} [deg]")
-        ax.legend(loc="upper right", fontsize=8)
-    axes[-1].set_xlabel("frame")
-    fig.suptitle(f"{seq_name}: Euler angles")
-    fig.savefig(os.path.join(out_dir, f"{seq_name}_euler.png"), dpi=100)
-    plt.close(fig)
-
-    if "ori_distance" in metrics:
-        fig, ax = plt.subplots(figsize=(10, 3))
-        ax.plot(metrics["ori_distance"], label="ori PDF distance", lw=1)
-        ax.plot(metrics["pos_distance"], label="pos PDF distance", lw=1)
-        ax.legend()
-        ax.set_xlabel("frame")
-        fig.savefig(os.path.join(out_dir, f"{seq_name}_distance.png"), dpi=100)
-        plt.close(fig)
+def _report_args(res, truth):
+    """(args, kwargs) for the report-suite functions from one sequence run."""
+    kwargs = {}
+    if "ori_video" in res:
+        kwargs = {
+            "video_ori": np.asarray(res["ori_video"]),
+            "video_pos": np.asarray(res["pos_video"]),
+            "ori_distance": np.asarray(res["ori_distance"]),
+            "pos_distance": np.asarray(res["pos_distance"]),
+        }
+    return (truth["ori"], truth["pos"],
+            np.asarray(res["ori_still"]), np.asarray(res["pos_still"])), kwargs
 
 
 def main(argv=None):
@@ -205,8 +205,15 @@ def main(argv=None):
                               filter_video=not args.no_filter, plots=args.plots)
         return
 
+    from spef_tpu.temporal.report import (
+        sequence_figures,
+        sequence_metrics,
+        write_workbooks,
+    )
+
+    books = {"still": {}, "video": {}, "dist": {}}
     for seq in split["eval"]:
-        _, _, metrics = evaluate_sequence(
+        res, truth, metrics = evaluate_sequence(
             spe_utils, forward_fn, data[seq], filter_video=not args.no_filter
         )
         summary[seq] = {k: metrics[k] for k in ("still", "video") if k in metrics}
@@ -215,8 +222,16 @@ def main(argv=None):
         if "video" in metrics:
             line += f"  video esa={metrics['video']['esa_score']:.4f}"
         print(line)
+        rargs, rkwargs = _report_args(res, truth)
+        sm, vm, dm = sequence_metrics(*rargs, **rkwargs)
+        books["still"][seq], books["video"][seq], books["dist"][seq] = sm, vm, dm
         if args.plots:
-            make_plots(out_dir, seq, metrics)
+            # Full reference figure set (9 figures/sequence,
+            # `temporal.py:297-517`) into out_dir/<seq>/.
+            sequence_figures(out_dir, seq, *rargs, **rkwargs)
+
+    # The reference's three aggregate workbooks (`temporal.py:519-532`).
+    write_workbooks(out_dir, books["still"], books["video"], books["dist"])
 
     with open(os.path.join(out_dir, "temporal_metrics.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -1,0 +1,183 @@
+"""Fused-Pallas int8 pipeline — the deployment executor.
+
+Assembles the converted QAT graph (:mod:`spef_tpu.quant.convert`) into a
+chain of fused block kernels (:mod:`spef_tpu.ops.pallas.fused_block`):
+stem and every inverted-residual block run as ONE Pallas program each, so
+activations cross HBM exactly once per block as int8 — the property XLA
+cannot deliver for this graph (it keeps requant chains as standalone
+fusions; profiled in PERFORMANCE.md r2).
+
+Grid bookkeeping is identical to :mod:`spef_tpu.quant.int8_carry` (tensors
+always emitted on the next consumer's grid; integer residual sums
+ratio-requantized exactly), so outputs are bit-comparable with
+``build_int8_forward`` / the QAT fake-quant network — parity-tested.
+
+Blocks whose spatial shape the kernels cannot tile (width not a multiple
+of 8, odd stride-2 dims) fall back to the conv-form XLA carry ops for that
+block only; the default 256x256 deployment shape runs fully fused.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from spef_tpu.ops.pallas.fused_block import fused_mbconv, fused_stem
+
+__all__ = ["build_fused_forward"]
+
+
+def _grid(step: float, qmax: float) -> Dict[str, float]:
+    return {"step": step, "qmax": qmax, "qmin": -qmax - 1}
+
+
+def _consumer_grid(graph, i: int) -> Optional[Dict[str, float]]:
+    blocks = graph["blocks"]
+    if i + 1 < len(blocks):
+        nxt = blocks[i + 1]
+        if "shared_step" in nxt and (nxt["input_quant"] or nxt["use_residual"]):
+            return _grid(nxt["shared_step"], nxt["shared_qmax"])
+    else:
+        fs = graph["final_shared"]
+        return _grid(fs["step"], fs["qmax"])
+    blk = blocks[i]
+    if "shared_step" in blk:
+        return _grid(blk["shared_step"], blk["shared_qmax"])
+    return None
+
+
+def _xla_block(y, blk, step, out_grid):
+    """Conv-form XLA fallback for one block (int8 in/out, carry semantics)."""
+    from spef_tpu.quant.int8_carry import _conv_acc, _requant_int8
+
+    residual = y
+    h, hstep = y, step
+    float_handoff = False
+    if "expand" in blk:
+        e = blk["expand"]
+        acc = _conv_acc(h, e["w_int"], 1, 1)
+        yf = jnp.maximum(acc * (e["mult_core"] * hstep) + e["bias"], 0.0)
+        if "act_step" in e:
+            h = _requant_int8(yf, e["act_step"], e["act_qmax"])
+            hstep = e["act_step"]
+        else:
+            h, hstep, float_handoff = yf.astype(jnp.bfloat16), None, True
+    d = blk["depthwise"]
+    acc = _conv_acc(h, d["w_int"], d["stride"], h.shape[-1])
+    mult = d["mult_core"] * (1.0 if float_handoff else hstep)
+    yf = jnp.maximum(acc * mult + d["bias"], 0.0)
+    h = _requant_int8(yf, d["act_step"], d["act_qmax"])
+    p = blk["project"]
+    acc = _conv_acc(h, p["w_int"], 1, 1)
+    pf = acc * (p["mult_core"] * d["act_step"]) + p["bias"]
+    if blk["use_residual"]:
+        q = jnp.clip(jnp.round(pf / blk["shared_step"]),
+                     -blk["shared_qmax"] - 1, blk["shared_qmax"]).astype(jnp.int32)
+        s = q + residual.astype(jnp.int32)
+        step = blk["shared_step"]
+        if out_grid is not None and abs(step - out_grid["step"]) > 1e-12:
+            ratio = step / out_grid["step"]
+            y = jnp.clip(jnp.round(s.astype(jnp.float32) * ratio),
+                         out_grid["qmin"], out_grid["qmax"]).astype(jnp.int8)
+            step = out_grid["step"]
+        else:
+            y = jnp.clip(s, -128, 127).astype(jnp.int8)
+    else:
+        y = _requant_int8(pf, out_grid["step"], out_grid["qmax"], out_grid["qmin"])
+        step = out_grid["step"]
+    return y, step
+
+
+def _block_fusable(blk, h: int, w: int) -> bool:
+    stride = blk["depthwise"]["stride"]
+    if w % 8:
+        return False
+    if stride == 2 and (h % 2 or w % 2 or (w // 2) % 8):
+        return False
+    return True
+
+
+def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
+    """Close over the graph -> jittable ``images -> (ori, pos)``."""
+    blocks = graph["blocks"]
+
+    def forward(images: jax.Array):
+        assert images.dtype == jnp.uint8, "fused pipeline takes uint8 frames"
+        b, hh, ww, _ = images.shape
+        fusable_stem = hh % 2 == 0 and ww % 2 == 0 and (ww // 2) % 8 == 0
+
+        if fusable_stem:
+            y = fused_stem(images, graph["stem"], interpret=interpret)
+        else:
+            from spef_tpu.quant.int8_carry import _conv_acc, _requant_int8
+
+            stem = graph["stem"]
+            acc = _conv_acc(images, stem["w_int"], 2, 1)
+            yf = jnp.maximum(acc * (stem["mult_core"] / 255.0) + stem["bias"], 0.0)
+            y = _requant_int8(yf, stem["act_step"], stem["act_qmax"])
+        step = graph["stem"]["act_step"]
+
+        for i, blk in enumerate(blocks):
+            # Producers emit on the consumer grid, so this requant only fires
+            # for a first block with input_quant (not in the default family).
+            if "shared_step" in blk and (blk["input_quant"] or blk["use_residual"]):
+                tgt = blk["shared_step"]
+                if abs(step - tgt) > 1e-12:
+                    ratio = step / tgt
+                    qmax = blk["shared_qmax"]
+                    y = jnp.clip(jnp.round(y.astype(jnp.float32) * ratio),
+                                 -qmax - 1, qmax).astype(jnp.int8)
+                step = tgt
+
+            out_grid = _consumer_grid(graph, i)
+            shared = (_grid(blk["shared_step"], blk["shared_qmax"])
+                      if "shared_step" in blk else None)
+            if _block_fusable(blk, y.shape[1], y.shape[2]):
+                y = fused_mbconv(y, blk, in_step=step, out_grid=out_grid,
+                                 shared_grid=shared, interpret=interpret)
+                if blk["use_residual"]:
+                    if out_grid is not None and abs(
+                            blk["shared_step"] - out_grid["step"]) > 1e-12:
+                        step = out_grid["step"]
+                    else:
+                        step = blk["shared_step"]
+                else:
+                    step = out_grid["step"]
+            else:
+                y, step = _xla_block(y, blk, step, out_grid)
+
+        fs = graph["final_shared"]
+        if abs(step - fs["step"]) > 1e-12:
+            ratio = step / fs["step"]
+            y = jnp.clip(jnp.round(y.astype(jnp.float32) * ratio),
+                         -fs["qmax"] - 1, fs["qmax"]).astype(jnp.int8)
+            step = fs["step"]
+
+        # Head conv (1x1 at the final 1/32 resolution) + pooled int8 FCs —
+        # tiny tensors; the conv-form XLA ops suffice here.
+        hcnv = graph["head_conv"]
+        from spef_tpu.quant.int8_carry import _conv_acc, _requant_int8
+
+        acc = _conv_acc(y, hcnv["w_int"], 1, 1)
+        yf = jnp.maximum(acc * (hcnv["mult_core"] * step) + hcnv["bias"], 0.0)
+        y = _requant_int8(yf, hcnv["act_step"], hcnv["act_qmax"])
+        step = hcnv["act_step"]
+
+        head = graph["head"]
+        pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2)) * step
+        p_int = jnp.clip(jnp.round(pooled / head["pool_step"]),
+                         -head["pool_qmax"] - 1, head["pool_qmax"]).astype(jnp.int8)
+
+        def fc(w_int, scale, bias):
+            acc = jax.lax.dot_general(
+                p_int, w_int, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            return acc.astype(jnp.float32) * (head["pool_step"] * scale) + bias
+
+        ori = fc(head["ori_w_int"], head["ori_scale"], head["ori_bias"])
+        pos = fc(head["pos_w_int"], head["pos_scale"], head["pos_bias"])
+        return ori, pos
+
+    return forward
