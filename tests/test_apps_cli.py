@@ -28,6 +28,25 @@ def test_soft_class_study_cli(tmp_path, capsys):
     assert "pdf_distance" in results
 
 
+def test_soft_class_grid_study_cli(tmp_path):
+    """Full reference-style grid study (`soft_class_plot.py` main): stats
+    heatmaps + smooth-line plots + pose-space heatmap + 3D scatter."""
+    from spef_tpu.apps.soft_class_study import main
+
+    main(["--out", str(tmp_path), "--grid",
+          "--ori-bins", "6", "8", "--ori-smooth", "2", "3",
+          "--pos-bins", "6", "8", "--pos-smooth", "100", "150",
+          "--grid-step-deg", "60", "--grid-step-m", "6"])
+    for tag in ("ori", "pos"):
+        for fig in ("grid_mean_heatmap", "grid_median_heatmap", "smooth_lines",
+                    "pose_heatmap", "3d_scatter"):
+            assert (tmp_path / f"{tag}_{fig}.png").exists(), f"{tag}_{fig}"
+        assert (tmp_path / f"{tag}_grid_errors.npy").exists()
+    stats = json.load(open(tmp_path / "grid_study.json"))
+    assert set(stats) == {"orientation", "position"}
+    assert all(v > 0 for v in stats["orientation"]["mean"].values())
+
+
 def test_create_dspeed_cli(tmp_path):
     from spef_tpu.apps.create_dspeed import main
 
@@ -46,12 +65,17 @@ def test_make_speed_split_cli(tmp_path):
                 "r_Vo2To_vbs_true": [0, 0, 10]} for i in range(20)]
     with open(tmp_path / "train.json", "w") as f:
         json.dump(entries, f)
-    main(["--dataset", str(tmp_path), "--valid-fraction", "0.25"])
+    main(["--dataset", str(tmp_path), "--random", "--valid-fraction", "0.25"])
     train = json.load(open(tmp_path / "train_no_valid.json"))
     valid = json.load(open(tmp_path / "valid.json"))
     assert len(train) == 15 and len(valid) == 5
     names = {e["filename"] for e in train} | {e["filename"] for e in valid}
     assert len(names) == 20  # disjoint cover
+
+    # Default (no --random) materializes the vendored reference split.
+    main(["--dataset", str(tmp_path)])
+    assert len(json.load(open(tmp_path / "train_no_valid.json"))) == 10200
+    assert len(json.load(open(tmp_path / "valid.json"))) == 1800
 
 
 def test_generate_bitwidth_experiments_cli(tmp_path):

@@ -1,0 +1,113 @@
+"""Real-TPU kernel regression lane (VERDICT r1 weakness 5).
+
+These tests compile the Pallas kernels with the ACTUAL Mosaic backend on a
+real chip — interpret-mode CI cannot catch tile-alignment, DMA, or
+lowering regressions.  Run with::
+
+    SPEF_TPU_TESTS=1 python -m pytest -m tpu tests/test_tpu_lane.py -v
+
+In the default CPU-mesh CI lane every test here auto-skips.  Shapes are
+kept small so the whole lane compiles in ~a minute (with the persistent
+compile cache, seconds).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+_on_tpu = jax.devices()[0].platform == "tpu"
+requires_tpu = pytest.mark.skipif(not _on_tpu, reason="no real TPU available")
+
+
+@requires_tpu
+class TestPallasKernelsOnChip:
+    def test_int8_matmul_requant_bit_exact(self):
+        from spef_tpu.ops.pallas.int8_ops import int8_matmul_requant, xla_matmul_requant
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randint(-128, 128, (256, 128), np.int8))
+        w = jnp.asarray(rng.randint(-128, 128, (128, 128), np.int8))
+        mult = jnp.asarray(rng.rand(128).astype(np.float32) * 1e-2)
+        bias = jnp.asarray(rng.randn(128).astype(np.float32) * 1e-2)
+        kw = dict(relu=True, out_inv_step=37.0, out_qmax=127.0, out_qmin=0.0)
+        a = int8_matmul_requant(x, w, mult, bias, **kw)
+        b = xla_matmul_requant(x, w, mult, bias, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_int8_depthwise3x3_bit_exact(self):
+        from spef_tpu.ops.pallas.int8_ops import int8_depthwise3x3, xla_depthwise3x3
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randint(0, 128, (2, 16, 16, 128), np.int8))
+        w = jnp.asarray(rng.randint(-8, 8, (3, 3, 128), np.int8))
+        mult = jnp.asarray(rng.rand(128).astype(np.float32) * 1e-2)
+        bias = jnp.asarray(rng.randn(128).astype(np.float32) * 1e-2)
+        kw = dict(stride=1, in_step=0.05, out_inv_step=21.0, out_qmax=127.0)
+        a = int8_depthwise3x3(x, w, mult, bias, **kw)
+        b = xla_depthwise3x3(x, w, mult, bias, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def _block_entry(self, rng, cin, ch, cout, stride, residual):
+        def conv(shape):
+            return {
+                "w_int": jnp.asarray(rng.randint(-8, 8, shape, np.int8)),
+                "mult_core": jnp.asarray(rng.rand(shape[-1]).astype(np.float32) * 1e-2),
+                "bias": jnp.asarray(rng.randn(shape[-1]).astype(np.float32) * 1e-2),
+                "stride": 1,
+                "groups": 1,
+            }
+
+        blk = {
+            "use_residual": residual,
+            "input_quant": True,
+            "expand_ratio": ch // cin,
+            "shared_step": 0.07,
+            "shared_qmax": 127.0,
+            "expand": {**conv((1, 1, cin, ch)), "act_step": 0.045, "act_qmax": 255.0},
+            "depthwise": {**conv((3, 3, 1, ch)), "stride": stride, "groups": ch,
+                          "act_step": 0.03, "act_qmax": 255.0},
+            "project": conv((1, 1, ch, cout)),
+        }
+        return blk
+
+    @pytest.mark.parametrize("stride,residual", [(1, True), (1, False), (2, False)])
+    def test_fused_mbconv_matches_xla_block(self, stride, residual):
+        from spef_tpu.ops.pallas.fused_block import fused_mbconv
+        from spef_tpu.quant.int8_fused import _xla_block
+
+        rng = np.random.RandomState(2 + stride)
+        cin = cout = 32 if residual else 32
+        blk = self._block_entry(rng, cin, 64, cout, stride, residual)
+        x = jnp.asarray(rng.randint(-64, 64, (2, 16, 16, cin), np.int8))
+        in_step = blk["shared_step"] if residual else 0.05
+        out_grid = {"step": 0.06, "qmax": 127.0, "qmin": -128.0}
+        shared = {"step": blk["shared_step"], "qmax": blk["shared_qmax"],
+                  "qmin": -blk["shared_qmax"] - 1}
+        a = fused_mbconv(x, blk, in_step=in_step, out_grid=out_grid, shared_grid=shared)
+        b, _ = _xla_block(x, blk, in_step, out_grid)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fused_stem_matches_carry(self):
+        from spef_tpu.ops.pallas.fused_block import fused_stem
+        from spef_tpu.quant.int8_carry import _conv_acc, _requant_int8
+
+        rng = np.random.RandomState(7)
+        stem = {
+            "w_int": jnp.asarray(rng.randint(-8, 8, (3, 3, 3, 32), np.int8)),
+            "mult_core": jnp.asarray(rng.rand(32).astype(np.float32) * 1e-2),
+            "bias": jnp.asarray(rng.randn(32).astype(np.float32) * 1e-2),
+            "act_step": 0.02,
+            "act_qmax": 255.0,
+            "stride": 2,
+            "groups": 1,
+        }
+        images = jnp.asarray(rng.randint(0, 256, (2, 32, 32, 3), np.uint8))
+        a = fused_stem(images, stem)
+
+        acc = _conv_acc(images, stem["w_int"], 2, 1)
+        yf = jnp.maximum(acc * (stem["mult_core"] / 255.0) + stem["bias"], 0.0)
+        b = _requant_int8(yf, stem["act_step"], stem["act_qmax"])
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
