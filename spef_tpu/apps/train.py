@@ -23,7 +23,7 @@ import jax
 
 
 def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 1001,
-                   data_parallel: bool = False) -> dict:
+                   data_parallel: bool = False, cache_dataset: bool = False) -> dict:
     from spef_tpu.codec.facade import SPEUtils
     from spef_tpu.config.train_config import save_config
     from spef_tpu.data.camera import load_camera
@@ -63,6 +63,7 @@ def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 10
     data, split = load_dataset(
         cfg.DATA.PATH, cfg.DATA.BATCH_SIZE, tuple(cfg.DATA.IMG_SIZE),
         shuffle=cfg.DATA.SHUFFLE, seed=seed, rot_augment=rot_augment,
+        cache=cache_dataset,
     )
 
     bit_width = None
@@ -144,6 +145,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=1001)
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all visible devices (DP over the mesh)")
+    parser.add_argument("--cache-dataset", action="store_true",
+                        help="decode each split once, serve epochs from RAM "
+                             "(device-bound training on few-core hosts)")
     args = parser.parse_args(argv)
 
     if args.config:
@@ -163,7 +167,8 @@ def main(argv=None):
         try:
             cfg = load_config(paths["config"])
             run_experiment(name, cfg, paths["bit_width"], args.out, args.seed,
-                           data_parallel=args.data_parallel)
+                           data_parallel=args.data_parallel,
+                           cache_dataset=args.cache_dataset)
         except Exception:
             # Per-experiment error isolation (reference `train.py:106-131`).
             os.makedirs(out_dir, exist_ok=True)

@@ -31,7 +31,7 @@ import numpy as np
 
 from spef_tpu.data.camera import Camera, load_camera
 
-__all__ = ["PoseRecord", "Manifest", "BatchLoader", "load_dataset"]
+__all__ = ["PoseRecord", "Manifest", "BatchLoader", "CachedBatchLoader", "load_dataset"]
 
 _ORI_KEYS = ("q", "q_vbs2tango", "q_vbs2tango_true")
 _POS_KEYS = ("t", "r_Vo2To_vbs_true")
@@ -192,6 +192,69 @@ class BatchLoader:
                 }
 
 
+class CachedBatchLoader(BatchLoader):
+    """BatchLoader that decodes the whole split ONCE and serves later epochs
+    from a RAM-resident uint8 array.
+
+    On a single-core host the PNG decode path caps training at ~200 img/s
+    while the device step sustains ~1,900 img/s (PERFORMANCE.md); caching
+    makes multi-epoch training device-bound.  Memory: N * H * W * 3 bytes
+    (a 20k-image 240x384 split is ~5.5 GB).  Same batch contract as
+    BatchLoader (padded last batch + mask); host-side rot augmentation is
+    applied per epoch on the cached copies so randomness is preserved.
+    """
+
+    _cache: Optional[np.ndarray] = None
+
+    def _materialize(self) -> None:
+        base = BatchLoader(self.manifest, self.batch_size, self.img_size,
+                           shuffle=False, n_workers=self.n_workers,
+                           drop_remainder=False)
+        chunks = []
+        for batch in base:
+            n_valid = int(batch["mask"].sum())
+            chunks.append(batch["images"][:n_valid])
+        self._cache = np.concatenate(chunks) if chunks else np.zeros(
+            (0,) + tuple(self.img_size) + (3,), np.uint8)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self._cache is None:
+            self._materialize()
+        order = np.arange(len(self.manifest))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        oris = np.stack([r.ori for r in self.manifest.records])
+        poss = np.stack([r.pos for r in self.manifest.records])
+        for start in range(0, len(order), bs):
+            idx = order[start:start + bs]
+            if len(idx) < bs and self.drop_remainder:
+                break
+            images = self._cache[idx]
+            ori = oris[idx]
+            pos = poss[idx]
+            if self.rot_augment is not None:
+                images = images.copy()
+                ori, pos = ori.copy(), pos.copy()
+                for i in range(len(idx)):
+                    images[i], ori[i], pos[i] = self.rot_augment(images[i], ori[i], pos[i])
+            n_valid = len(idx)
+            if n_valid < bs:
+                pad = bs - n_valid
+                images = np.concatenate([images, np.zeros((pad,) + images.shape[1:], np.uint8)])
+                ori = np.concatenate([ori, np.repeat(ori[-1:], pad, 0)])
+                pos = np.concatenate([pos, np.repeat(pos[-1:], pad, 0)])
+            yield {
+                "images": images,
+                "ori": ori.astype(np.float32),
+                "pos": pos.astype(np.float32),
+                "mask": np.concatenate(
+                    [np.ones(n_valid, np.float32), np.zeros(bs - n_valid, np.float32)]
+                ),
+            }
+
+
 # ---------------------------------------------------------------------------
 # Per-dataset importers (reference `src/data/datasets/*.py`).
 # ---------------------------------------------------------------------------
@@ -206,13 +269,15 @@ def _make_loaders(
     n_workers: int,
     shuffle_only_train: bool = True,
     rot_augment=None,
+    cache: bool = False,
 ) -> Dict[str, BatchLoader]:
+    loader_cls = CachedBatchLoader if cache else BatchLoader
     loaders = {}
     for name, (images_path, labels_path) in splits.items():
         if not os.path.isfile(labels_path):
             continue
         manifest = Manifest.from_json(labels_path, images_path)
-        loaders[name] = BatchLoader(
+        loaders[name] = loader_cls(
             manifest,
             batch_size,
             img_size,
@@ -238,7 +303,7 @@ def _speed_split_file(path: str, name: str) -> str:
     return local if os.path.isfile(local) else os.path.join(SPEED_SPLIT_DIR, name)
 
 
-def import_speed(path, batch_size, img_size, shuffle=False, seed=1001, rot_augment=None):
+def import_speed(path, batch_size, img_size, shuffle=False, seed=1001, rot_augment=None, cache=False):
     """SPEED splits: train/valid/real (`datasets/speed.py:35-118`)."""
     splits = {
         "train": (os.path.join(path, "images", "train"),
@@ -248,13 +313,13 @@ def import_speed(path, batch_size, img_size, shuffle=False, seed=1001, rot_augme
         "real": (os.path.join(path, "images", "real"), os.path.join(path, "real.json")),
     }
     data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=16,
-                         rot_augment=rot_augment)
+                         rot_augment=rot_augment, cache=cache)
     split = {"train": tuple(k for k in ("train", "valid", "real") if k in data),
              "eval": tuple(k for k in ("valid", "real") if k in data)}
     return data, split
 
 
-def import_speed_plus(path, batch_size, img_size, shuffle=False, seed=1001, rot_augment=None):
+def import_speed_plus(path, batch_size, img_size, shuffle=False, seed=1001, rot_augment=None, cache=False):
     """SPEED+ splits: train/valid/sunlamp/lightbox (`datasets/speed_plus.py:100-109`)."""
     sy = os.path.join(path, "synthetic")
     splits = {
@@ -264,7 +329,7 @@ def import_speed_plus(path, batch_size, img_size, shuffle=False, seed=1001, rot_
         "lightbox": (os.path.join(path, "lightbox", "images"), os.path.join(path, "lightbox", "test.json")),
     }
     data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=16,
-                         rot_augment=rot_augment)
+                         rot_augment=rot_augment, cache=cache)
     split = {
         "train": tuple(k for k in ("train", "valid", "sunlamp", "lightbox") if k in data),
         "eval": tuple(k for k in ("valid", "sunlamp", "lightbox") if k in data),
@@ -272,14 +337,14 @@ def import_speed_plus(path, batch_size, img_size, shuffle=False, seed=1001, rot_
     return data, split
 
 
-def import_dspeed(path, batch_size, img_size, shuffle=False, seed=1001, rot_augment=None):
+def import_dspeed(path, batch_size, img_size, shuffle=False, seed=1001, rot_augment=None, cache=False):
     """D-SPEED still splits: train/valid/test (`datasets/dspeed.py:88-116`)."""
     splits = {
         name: (os.path.join(path, name, "images"), os.path.join(path, name, "pose.json"))
         for name in ("train", "valid", "test")
     }
     data = _make_loaders(splits, batch_size, img_size, shuffle, seed, n_workers=64,
-                         rot_augment=rot_augment)
+                         rot_augment=rot_augment, cache=cache)
     split = {"train": tuple(k for k in ("train", "valid", "test") if k in data),
              "eval": tuple(k for k in ("valid", "test") if k in data)}
     return data, split
@@ -307,23 +372,26 @@ def load_dataset(
     shuffle: bool = False,
     seed: int = 1001,
     rot_augment=None,
+    cache: bool = False,
 ):
     """Dataset dispatch by path (reference `import_dataset.py:13-57`).
 
     ``rot_augment``: optional HostRotationAugment applied to the train split
     (host-side yaw warp with pose update; see data/augment_host.py).
+    ``cache``: decode each split once and serve epochs from RAM
+    (:class:`CachedBatchLoader`) — for multi-epoch training on few-core hosts.
     """
     assert os.path.exists(path), f"Dataset path {path} does not exist"
     name = os.path.split(path.rstrip("/"))[-1]
     if name == "speed":
-        return import_speed(path, batch_size, img_size, shuffle, seed, rot_augment)
+        return import_speed(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
     if name == "speed_plus":
-        return import_speed_plus(path, batch_size, img_size, shuffle, seed, rot_augment)
+        return import_speed_plus(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
     if "dspeed" in path and name == "still":
-        return import_dspeed(path, batch_size, img_size, shuffle, seed, rot_augment)
+        return import_dspeed(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
     if "dspeed" in path and name == "video":
         return import_dspeed_video(path, batch_size, img_size)
     # Fallback: any directory holding pose.json splits behaves like dspeed-still.
     if os.path.isdir(os.path.join(path, "train")):
-        return import_dspeed(path, batch_size, img_size, shuffle, seed, rot_augment)
+        return import_dspeed(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
     raise ValueError(f"Dataset {name} not implemented")

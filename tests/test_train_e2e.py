@@ -73,6 +73,19 @@ def test_train_reduces_loss_and_eval_runs(dataset, spe_utils):
     assert rec_error2["valid"]["ori_std"][0] >= 0
 
 
+def test_cached_loader_matches_batch_loader(dataset):
+    """CachedBatchLoader serves identical batches to BatchLoader (epoch 1
+    decodes + caches; epoch 2 comes from RAM)."""
+    plain, _ = load_dataset(dataset, batch_size=8, img_size=(48, 64), shuffle=True)
+    cached, _ = load_dataset(dataset, batch_size=8, img_size=(48, 64), shuffle=True,
+                             cache=True)
+    for epoch in range(2):
+        for a, b in zip(plain["train"], cached["train"]):
+            np.testing.assert_array_equal(a["images"], b["images"])
+            np.testing.assert_allclose(a["ori"], b["ori"])
+            np.testing.assert_array_equal(a["mask"], b["mask"])
+
+
 def test_data_parallel_fit_matches_single_device(dataset, spe_utils):
     """8-device data-parallel Trainer.fit follows the same loss trajectory as
     single-device training (same seed) — the mesh only changes the physical
