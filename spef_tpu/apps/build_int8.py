@@ -60,6 +60,9 @@ def main(argv=None):
                         help="PTQ activation calibration from data (no QAT needed) — "
                              "the reference's build_nvidia.py:30-127 calibration modes")
     parser.add_argument("--calibration-batches", type=int, default=256)
+    parser.add_argument("--autotune", action="store_true",
+                        help="sweep fused-kernel row tiles per block shape on-chip and "
+                             "persist winners (FINN folding / Ansor analogue)")
     parser.add_argument("--percentile", type=float, default=99.99)
     parser.add_argument("--seed", type=int, default=1001)
     args = parser.parse_args(argv)
@@ -149,6 +152,15 @@ def main(argv=None):
                           clip_batchnorm=cfg.TRAIN.CLIP_BATCHNORM, seed=args.seed)
         state, *_ = trainer.fit(state, data, args.qat_epochs, scheduler, split["train"])
         qat_model.variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if args.autotune:
+        from spef_tpu.quant.autotune import tune_graph
+
+        graph0 = convert_qat_params(qat_model, bit_width)
+        table = tune_graph(graph0, tuple(cfg.DATA.IMG_SIZE), batch=cfg.DATA.BATCH_SIZE)
+        with open(os.path.join(save_folder, "autotune_report.json"), "w") as f:
+            json.dump(table, f, indent=2, sort_keys=True)
+        print(f"Autotune winners persisted ({len(table)} shapes)")
 
     # Ladder: QAT fake-quant evaluation.
     engine_qat = SPEJax(qat_model, spe_utils)

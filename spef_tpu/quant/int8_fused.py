@@ -24,7 +24,12 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from spef_tpu.ops.pallas.fused_block import fused_mbconv, fused_stem
+from spef_tpu.ops.pallas.fused_block import (
+    fused_mbconv,
+    fused_stem,
+    pad_act,
+    unpad_act,
+)
 
 __all__ = ["build_fused_forward"]
 
@@ -108,8 +113,11 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
         b, hh, ww, _ = images.shape
         fusable_stem = hh % 2 == 0 and ww % 2 == 0 and (ww // 2) % 8 == 0
 
+        # (h, w, c) = logical dims; `layout` tracks whether y is the padded
+        # inter-kernel layout tensor or a plain NHWC int8 tensor.
         if fusable_stem:
             y = fused_stem(images, graph["stem"], interpret=interpret)
+            layout = True
         else:
             from spef_tpu.quant.int8_carry import _conv_acc, _requant_int8
 
@@ -117,11 +125,15 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
             acc = _conv_acc(images, stem["w_int"], 2, 1)
             yf = jnp.maximum(acc * (stem["mult_core"] / 255.0) + stem["bias"], 0.0)
             y = _requant_int8(yf, stem["act_step"], stem["act_qmax"])
+            layout = False
+        h, w = hh // 2, ww // 2
+        c = int(graph["stem"]["w_int"].shape[-1])
         step = graph["stem"]["act_step"]
 
         for i, blk in enumerate(blocks):
             # Producers emit on the consumer grid, so this requant only fires
             # for a first block with input_quant (not in the default family).
+            # Elementwise on the layout tensor is fine: zeros stay zeros.
             if "shared_step" in blk and (blk["input_quant"] or blk["use_residual"]):
                 tgt = blk["shared_step"]
                 if abs(step - tgt) > 1e-12:
@@ -134,9 +146,14 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
             out_grid = _consumer_grid(graph, i)
             shared = (_grid(blk["shared_step"], blk["shared_qmax"])
                       if "shared_step" in blk else None)
-            if _block_fusable(blk, y.shape[1], y.shape[2]):
+            stride = blk["depthwise"]["stride"]
+            if _block_fusable(blk, h, w):
+                if not layout:
+                    y = pad_act(y)
+                    layout = True
                 y = fused_mbconv(y, blk, in_step=step, out_grid=out_grid,
-                                 shared_grid=shared, interpret=interpret)
+                                 shared_grid=shared, logical_hw=(h, w),
+                                 interpret=interpret)
                 if blk["use_residual"]:
                     if out_grid is not None and abs(
                             blk["shared_step"] - out_grid["step"]) > 1e-12:
@@ -146,7 +163,15 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
                 else:
                     step = out_grid["step"]
             else:
+                if layout:
+                    y = unpad_act(y, w, c)
+                    layout = False
                 y, step = _xla_block(y, blk, step, out_grid)
+            h, w = h // stride, w // stride
+            c = int(blk["project"]["w_int"].shape[-1])
+
+        if layout:
+            y = unpad_act(y, w, c)
 
         fs = graph["final_shared"]
         if abs(step - fs["step"]) > 1e-12:

@@ -75,23 +75,25 @@ class TestPallasKernelsOnChip:
 
     @pytest.mark.parametrize("stride,residual", [(1, True), (1, False), (2, False)])
     def test_fused_mbconv_matches_xla_block(self, stride, residual):
-        from spef_tpu.ops.pallas.fused_block import fused_mbconv
+        from spef_tpu.ops.pallas.fused_block import fused_mbconv, pad_act, unpad_act
         from spef_tpu.quant.int8_fused import _xla_block
 
         rng = np.random.RandomState(2 + stride)
-        cin = cout = 32 if residual else 32
+        cin = cout = 32
         blk = self._block_entry(rng, cin, 64, cout, stride, residual)
         x = jnp.asarray(rng.randint(-64, 64, (2, 16, 16, cin), np.int8))
         in_step = blk["shared_step"] if residual else 0.05
         out_grid = {"step": 0.06, "qmax": 127.0, "qmin": -128.0}
         shared = {"step": blk["shared_step"], "qmax": blk["shared_qmax"],
                   "qmin": -blk["shared_qmax"] - 1}
-        a = fused_mbconv(x, blk, in_step=in_step, out_grid=out_grid, shared_grid=shared)
+        a = fused_mbconv(pad_act(x), blk, in_step=in_step, out_grid=out_grid,
+                         shared_grid=shared, logical_hw=(16, 16))
+        a = unpad_act(a, 16 // stride, cout)
         b, _ = _xla_block(x, blk, in_step, out_grid)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_fused_stem_matches_carry(self):
-        from spef_tpu.ops.pallas.fused_block import fused_stem
+        from spef_tpu.ops.pallas.fused_block import fused_stem, unpad_act
         from spef_tpu.quant.int8_carry import _conv_acc, _requant_int8
 
         rng = np.random.RandomState(7)
@@ -105,7 +107,7 @@ class TestPallasKernelsOnChip:
             "groups": 1,
         }
         images = jnp.asarray(rng.randint(0, 256, (2, 32, 32, 3), np.uint8))
-        a = fused_stem(images, stem)
+        a = unpad_act(fused_stem(images, stem), 16, 32)
 
         acc = _conv_acc(images, stem["w_int"], 2, 1)
         yf = jnp.maximum(acc * (stem["mult_core"] / 255.0) + stem["bias"], 0.0)
