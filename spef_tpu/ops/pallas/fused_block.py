@@ -45,11 +45,50 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_mbconv", "fused_stem", "pad_act", "unpad_act", "act_layout"]
+__all__ = ["fused_mbconv", "fused_stem", "pad_act", "unpad_act", "act_layout",
+           "mbconv_vmem_bytes"]
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+# Mosaic's default scoped-VMEM carve-out is 16 MB; v5e has 128 MiB physical
+# VMEM, so large fused tiles legitimately raise the limit (standard practice
+# for flash-attention-class kernels).  Budget tiles to _VMEM_BUDGET and pass
+# a limit with headroom for Mosaic's own temporaries + out-tile buffering.
+_VMEM_BUDGET = 48 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def mbconv_vmem_bytes(tile_oh: int, stride: int, W2: int, Wo: int, Wo2: int,
+                      Cp: int, Chp: int, Cop: int, has_expand: bool) -> int:
+    """Estimate of one program's scoped-VMEM footprint (bytes).
+
+    Mirrors the live intermediates of ``_mbconv_kernel``: the int8 input
+    slab, the f32 hidden tensor + its bf16 matmul copy, the depthwise
+    taps/accumulator, the projection activations, weights, and the out
+    tile.  Deliberately ~30% conservative — Mosaic keeps extra copies."""
+    SR = tile_oh + 2 if stride == 1 else 2 * tile_oh + 2
+    slab = SR * W2 * Cp
+    hidden = SR * W2 * Chp * (4 + 2)  # f32 + bf16 matmul operand
+    dw = (3 if stride == 1 else 6) * tile_oh * W2 * Chp * 4
+    proj = tile_oh * Wo * (Chp * 2 + Cop * 4 * 2)
+    out = 2 * tile_oh * Wo2 * Cop  # int8, double-buffered
+    weights = 4 * (Cp * Chp * has_expand + 9 * Chp + Chp * Cop)
+    return slab + hidden + dw + proj + out + weights
+
+
+def _fit_tile_oh(ho: int, cap: int, vmem_of) -> int:
+    """Largest power-of-two-ish tile (divisor of ho, <= cap) whose estimated
+    footprint fits the budget; falls back to the smallest divisor."""
+    cands = sorted({t for t in (4, 8, 16, 32, 64) if t <= min(ho, cap)
+                    and ho % t == 0} | ({ho} if ho <= cap else set()),
+                   reverse=True)
+    for t in cands:
+        if vmem_of(t) <= _VMEM_BUDGET:
+            return t
+    return cands[-1] if cands else ho
 
 
 def act_layout(h: int, w: int, c: int):
@@ -81,17 +120,20 @@ def _pad1(a, n: int, fill: float = 0.0) -> jnp.ndarray:
 
 
 def _row_dma_cases(x_hbm, slab, sem, b, t, start, NR, H, n_tiles, top_halo=True,
-                   bottom_halo=True):
-    """DMA the row slab [start, start+NR) of image b, clamped to [0, H);
-    slab row r then holds input row (start + r) where valid.  Full-width,
-    full-channel copies only (rows are the untiled dim)."""
+                   bottom_halo=True, nb=0):
+    """DMA the row slab [start, start+NR) of image b (or of the ``nb``-image
+    chunk starting at ``b*nb``), clamped to [0, H); slab row r then holds
+    input row (start + r) where valid.  Full-width, full-channel copies only
+    (rows and batch are untiled dims)."""
 
     def copy(src_row0, n_rows, dst_row0):
-        dma = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(src_row0, n_rows)],
-            slab.at[pl.ds(dst_row0, n_rows)],
-            sem,
-        )
+        if nb:
+            src = x_hbm.at[pl.ds(b * nb, nb), pl.ds(src_row0, n_rows)]
+            dst = slab.at[:, pl.ds(dst_row0, n_rows)]
+        else:
+            src = x_hbm.at[b, pl.ds(src_row0, n_rows)]
+            dst = slab.at[pl.ds(dst_row0, n_rows)]
+        dma = pltpu.make_async_copy(src, dst, sem)
         dma.start()
         dma.wait()
 
@@ -121,14 +163,14 @@ def _row_dma_cases(x_hbm, slab, sem, b, t, start, NR, H, n_tiles, top_halo=True,
             copy(start, NR, 0)
 
 
-def _store_with_halo(out_ref, data, th, Wo, Wo2, C):
-    """Write (th, Wo, C) into the layout tile (1, th, Wo2, C): data at cols
-    [1, Wo+1), zero halo/padding columns."""
-    out_ref[0, :, pl.ds(1, Wo), :] = data
-    zcol = jnp.zeros((th, 1, C), data.dtype)
-    out_ref[0, :, pl.ds(0, 1), :] = zcol
-    for c in range(Wo + 1, Wo2):
-        out_ref[0, :, pl.ds(c, 1), :] = zcol
+def _store_with_halo(out_ref, data, nb, th, Wo, Wo2, C):
+    """Write (nb, th, Wo, C) into the layout tile (nb, th, Wo2, C): data at
+    cols [1, Wo+1), zero halo/padding columns."""
+    out_ref[:, :, pl.ds(1, Wo), :] = data
+    out_ref[:, :, pl.ds(0, 1), :] = jnp.zeros((nb, th, 1, C), data.dtype)
+    if Wo2 > Wo + 1:
+        out_ref[:, :, pl.ds(Wo + 1, Wo2 - Wo - 1), :] = jnp.zeros(
+            (nb, th, Wo2 - Wo - 1, C), data.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -138,13 +180,13 @@ def _store_with_halo(out_ref, data, th, Wo, Wo2, C):
 
 def _mbconv_kernel(
     x_hbm, *refs,
-    H, W, Wo, W2, Wo2, Cp, Chp, Cop, SR, stride, tile_oh,
+    NB, H, W, Wo, W2, Wo2, Cp, Chp, Cop, SR, stride, tile_oh,
     has_expand, hidden_grid, use_residual,
     inv_h, qmax_h, inv_d, qmax_d,
     inv_sh, qmax_sh, ratio_out, qmin_o, qmax_o, n_tiles,
 ):
-    """One (batch, row-tile) program.  refs: [w1, m1, b1]?, w2, m2, b2,
-    w3, m3, b3, out, slab, sem."""
+    """One (batch-chunk, row-tile) program over NB images.  refs:
+    [w1, m1, b1]?, w2, m2, b2, w3, m3, b3, out, slab, sem."""
     if has_expand:
         w1, m1, b1, w2, m2, b2, w3, m3, b3, out_ref, slab, sem = refs
     else:
@@ -157,59 +199,60 @@ def _mbconv_kernel(
     NR = SR if stride == 1 else SR - 1  # valid-row span [start, start+NR)
 
     _row_dma_cases(x_hbm, slab, sem, b, t, start, NR, H, n_tiles,
-                   bottom_halo=(stride == 1))
+                   bottom_halo=(stride == 1), nb=NB)
 
     # validity mask: input row (start+r) in [0, H), col in [1, W+1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (SR, W2), 0) + start
     cols = jax.lax.broadcasted_iota(jnp.int32, (SR, W2), 1)
     valid = (rows >= 0) & (rows < H) & (cols >= 1) & (cols <= W)
-    mask = valid.astype(jnp.float32)[:, :, None]
+    mask = valid.astype(jnp.float32)[None, :, :, None]
 
     # ---- expand 1x1 (exact integer matmul via bf16, K = Cp) ----
     if has_expand:
-        xs = slab[:].reshape(SR * W2, Cp).astype(jnp.bfloat16)
+        xs = slab[:].reshape(NB * SR * W2, Cp).astype(jnp.bfloat16)
         acc = jnp.dot(xs, w1[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
         h = jnp.maximum(acc * m1[:] + b1[:], 0.0)
         if hidden_grid:
             h = jnp.clip(jnp.round(h * inv_h), 0.0, qmax_h)
-        h = h.reshape(SR, W2, Chp) * mask
+        h = h.reshape(NB, SR, W2, Chp) * mask
     else:
         h = slab[:].astype(jnp.float32) * mask
 
     # ---- depthwise 3x3 (+ stride) ----
     w2f = w2[:].astype(jnp.float32)  # (9, Chp)
-    acc = jnp.zeros((th, Wo, Chp), jnp.float32)
+    acc = jnp.zeros((NB, th, Wo, Chp), jnp.float32)
     if stride == 1:
         for dy in range(3):
             for dx in range(3):
-                tap = jax.lax.slice(h, (dy, dx, 0), (dy + th, dx + W, Chp))
+                tap = jax.lax.slice(h, (0, dy, dx, 0), (NB, dy + th, dx + W, Chp))
                 acc = acc + tap * w2f[3 * dy + dx]
     else:
         for dy in range(3):
-            rows3 = jax.lax.slice(h, (dy, 0, 0), (dy + 2 * th, W2, Chp))
-            rows3 = rows3.reshape(th, 2, W2, Chp)[:, 0]  # input rows 2r+dy
+            rows3 = jax.lax.slice(h, (0, dy, 0, 0), (NB, dy + 2 * th, W2, Chp))
+            rows3 = rows3.reshape(NB, th, 2, W2, Chp)[:, :, 0]  # rows 2r+dy
             for dx in range(3):
-                seg = jax.lax.slice(rows3, (0, dx, 0), (th, dx + 2 * Wo, Chp))
-                tap = seg.reshape(th, Wo, 2, Chp)[:, :, 0]  # cols 2c+dx
+                seg = jax.lax.slice(rows3, (0, 0, dx, 0), (NB, th, dx + 2 * Wo, Chp))
+                tap = seg.reshape(NB, th, Wo, 2, Chp)[:, :, :, 0]  # cols 2c+dx
                 acc = acc + tap * w2f[3 * dy + dx]
     y = jnp.maximum(acc * m2[:] + b2[:], 0.0)
     y = jnp.clip(jnp.round(y * inv_d), 0.0, qmax_d)
 
     # ---- project 1x1 + residual + output requant ----
-    yb = y.reshape(th * Wo, Chp).astype(jnp.bfloat16)
+    yb = y.reshape(NB * th * Wo, Chp).astype(jnp.bfloat16)
     p = jnp.dot(yb, w3[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     pf = p * m3[:] + b3[:]
     if use_residual:
         q = jnp.clip(jnp.round(pf * inv_sh), -qmax_sh - 1.0, qmax_sh)
-        res = jax.lax.slice(slab[:], (1, 1, 0), (1 + th, 1 + W, Cp))
-        s = q.reshape(th, Wo, Cop) + res.astype(jnp.float32)
+        res = jax.lax.slice(slab[:], (0, 1, 1, 0), (NB, 1 + th, 1 + W, Cp))
+        s = q.reshape(NB, th, Wo, Cop) + res.astype(jnp.float32)
         if ratio_out is not None:
             out = jnp.clip(jnp.round(s * ratio_out), qmin_o, qmax_o)
         else:
             out = jnp.clip(s, -128.0, 127.0)
     else:
-        out = jnp.clip(jnp.round(pf * ratio_out), qmin_o, qmax_o).reshape(th, Wo, Cop)
-    _store_with_halo(out_ref, out.astype(jnp.int8), th, Wo, Wo2, Cop)
+        out = jnp.clip(jnp.round(pf * ratio_out), qmin_o,
+                       qmax_o).reshape(NB, th, Wo, Cop)
+    _store_with_halo(out_ref, out.astype(jnp.int8), NB, th, Wo, Wo2, Cop)
 
 
 def fused_mbconv(
@@ -220,6 +263,7 @@ def fused_mbconv(
     shared_grid: Optional[Dict[str, float]] = None,  # block's own shared grid
     logical_hw: Optional[tuple] = None,  # (H, W); W defaults from W2
     tile_oh: int = 0,
+    tile_b: int = 0,  # images per program (0 = auto: fill the MXU M dim)
     interpret: bool = False,
 ) -> jax.Array:
     """Run one fused inverted-residual block; returns the layout tensor
@@ -293,22 +337,37 @@ def fused_mbconv(
         ratio_out = 1.0 / out_grid["step"]
         qmin_o, qmax_o = out_grid["qmin"], out_grid["qmax"]
 
+    vmem_of = lambda t, nb=1: nb * mbconv_vmem_bytes(
+        t, stride, W2, Wo, Wo2, Cp, Chp, Cop, has_expand)
+    tuned_b = 0
     if tile_oh <= 0:
         # Autotuned winner for this shape, when one was measured on-chip
         # (quant/autotune.py — the FINN-folding/Ansor analogue).
         from spef_tpu.quant.autotune import block_signature, lookup_tile
 
-        tuned = lookup_tile(block_signature("mbconv", H, W, Cin, Ch, Cout, stride))
-        tile_oh = tuned if tuned else (Ho if Ho <= 32 else 32)
+        tuned, tuned_b = lookup_tile(block_signature("mbconv", H, W, Cin, Ch,
+                                                     Cout, stride))
+        tile_oh = tuned if tuned else _fit_tile_oh(Ho, 32, vmem_of)
+        tile_b = tile_b or tuned_b
     while Ho % tile_oh:
         tile_oh //= 2
     n_tiles = Ho // tile_oh
     SR = tile_oh + 2 if stride == 1 else 2 * tile_oh + 2
 
+    if tile_b <= 0:
+        # Fill the matmul M dimension (target ~4k rows) within VMEM budget.
+        tile_b = 1
+        while (B % (tile_b * 2) == 0 and tile_b * SR * W2 < 4096
+               and vmem_of(tile_oh, tile_b * 2) <= _VMEM_BUDGET):
+            tile_b *= 2
+    while B % tile_b:
+        tile_b //= 2
+    tile_b = max(tile_b, 1)
+
     kernel = functools.partial(
         _mbconv_kernel,
-        H=H, W=W, Wo=Wo, W2=W2, Wo2=Wo2, Cp=Cp, Chp=Chp, Cop=Cop, SR=SR,
-        stride=stride, tile_oh=tile_oh,
+        NB=tile_b, H=H, W=W, Wo=Wo, W2=W2, Wo2=Wo2, Cp=Cp, Chp=Chp, Cop=Cop,
+        SR=SR, stride=stride, tile_oh=tile_oh,
         has_expand=has_expand, hidden_grid=hidden_grid, use_residual=use_residual,
         inv_h=float(1.0 / e["act_step"]) if hidden_grid else 1.0,
         qmax_h=float(e["act_qmax"]) if hidden_grid else 127.0,
@@ -321,15 +380,18 @@ def fused_mbconv(
     flops = 2 * B * Ho * Wo * Chp * ((Cp if has_expand else 0) + 9 + Cop)
     return pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
+        grid=(B // tile_b, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile_oh, Wo2, Cop), lambda b, t: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((tile_b, tile_oh, Wo2, Cop),
+                               lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Wo2, Cop), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((SR, W2, Cp), jnp.int8), pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((tile_b, SR, W2, Cp), jnp.int8),
+                        pltpu.SemaphoreType.DMA],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size + B * Ho * Wo2 * Cop, transcendentals=0
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(x, *args)
 
@@ -359,8 +421,10 @@ def _stem_kernel(xs_hbm, w_ref, m_ref, b_ref, out_ref, slab, sem, *,
         for dx in range(2):
             tap = jax.lax.slice(slab[:], (dy, dx, 0), (dy + th, dx + Ws, 128))
             valid = ((r_ids + start + dy >= 0) & (r_ids + start + dy < Hs))
-            # Mosaic has no uint8->float cast; hop through int32 (exact).
-            tf = (tap.astype(jnp.int32).astype(jnp.float32)
+            # The image travels as int8 BITS (uint8 DMAs mis-lower for some
+            # row counts: Mosaic widens the HBM side to i16); recover the
+            # uint8 value exactly via widen + mask.
+            tf = ((tap.astype(jnp.int32) & 255).astype(jnp.float32)
                   * valid.astype(jnp.float32)[:, :, None])
             a = tf.reshape(th * Ws, 128).astype(jnp.bfloat16)
             acc = acc + jnp.dot(
@@ -369,8 +433,8 @@ def _stem_kernel(xs_hbm, w_ref, m_ref, b_ref, out_ref, slab, sem, *,
             )
     y = jnp.maximum(acc * m_ref[:] + b_ref[:], 0.0)
     q = jnp.clip(jnp.round(y * inv_a), 0.0, qmax_a)
-    _store_with_halo(out_ref, q.reshape(th, Ws, Cop).astype(jnp.int8),
-                     th, Ws, Ws2, Cop)
+    _store_with_halo(out_ref, q.reshape(1, th, Ws, Cop).astype(jnp.int8),
+                     1, th, Ws, Ws2, Cop)
 
 
 def fused_stem(
@@ -395,6 +459,7 @@ def fused_stem(
         B, Hs, Ws, 12
     )
     xs = jnp.pad(xs, ((0, 0), (0, 0), (1, Ws2 - Ws - 1), (0, 116)))
+    xs = jax.lax.bitcast_convert_type(xs, jnp.int8)  # uint8 bits, DMA-safe
 
     # 3x3 kernel -> 4 taps of the 2x2 s2d conv; see the tap derivation in
     # the r2 design notes: s2d tap (dy, dx, sy, sx) maps to original offset
@@ -417,11 +482,17 @@ def fused_stem(
     m = _pad1(np.asarray(stem["mult_core"]) / 255.0, Cop)
     bias = _pad1(stem["bias"], Cop)
 
+    def vmem_of(t):
+        slab = (t + 1) * Ws2 * 128
+        taps = 3 * t * Ws2 * 128 * 4 + t * Ws * 128 * 2
+        acc = t * Ws * Cop * 4 * 2
+        return slab + taps + acc + 4 * 128 * Cop * 4 + 2 * t * Ws2 * Cop
+
     if tile_oh <= 0:
         from spef_tpu.quant.autotune import block_signature, lookup_tile
 
-        tuned = lookup_tile(block_signature("stem", H, W, 3, 12, Cout, 2))
-        tile_oh = tuned if tuned else (Hs if Hs <= 32 else 32)
+        tuned, _ = lookup_tile(block_signature("stem", H, W, 3, 12, Cout, 2))
+        tile_oh = tuned if tuned else _fit_tile_oh(Hs, 32, vmem_of)
     while Hs % tile_oh:
         tile_oh //= 2
     n_tiles = Hs // tile_oh
@@ -440,7 +511,8 @@ def fused_stem(
         out_specs=pl.BlockSpec((1, tile_oh, Ws2, Cop), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hs, Ws2, Cop), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((tile_oh + 1, Ws2, 128), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((tile_oh + 1, Ws2, 128), jnp.int8),
                         pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xs, w4, m, bias)

@@ -59,39 +59,47 @@ def save_tuning(table: Dict[str, Any], path: Optional[str] = None) -> None:
     _cache = table
 
 
-def lookup_tile(sig: str) -> Optional[int]:
+def lookup_tile(sig: str) -> Tuple[int, int]:
+    """(tile_oh, tile_b) for a tuned shape; (0, 0) when never measured."""
     entry = load_tuning().get(sig)
-    return int(entry["tile_oh"]) if entry else None
+    if not entry:
+        return 0, 0
+    return int(entry["tile_oh"]), int(entry.get("tile_b", 0))
 
 
 def _time_fn(fn, x, iters: int = 10, warmup: int = 2) -> float:
-    """Median seconds/call with chained inputs (the remote-relay coalescing
-    gotcha: identical repeated calls misreport — PERFORMANCE.md)."""
+    """Median seconds/kernel-run, with ``iters`` runs fused into ONE jit call
+    via lax.scan so per-dispatch relay overhead (~5 ms/call through the axon
+    tunnel — it swamps sub-ms kernels) amortizes away.  Each iteration's
+    input is xor-perturbed (data dependence on the loop counter) so neither
+    XLA nor the relay can hoist or coalesce the kernel; the xor's cost is
+    shape-constant across candidates, so rankings are unaffected."""
     import jax
     import jax.numpy as jnp
 
-    def step(x):
-        y = fn(x)
-        # data-dependent bit flip chains iterations without changing stats
-        return jnp.bitwise_xor(x, (y.reshape(-1)[0] & 1)), y
+    def run(x0):
+        def body(carry, i):
+            xi = jnp.bitwise_xor(carry, (i & 1).astype(carry.dtype))
+            y = fn(xi)
+            return carry, y.reshape(-1)[0]
+        _, ys = jax.lax.scan(body, x0, jnp.arange(iters, dtype=jnp.int32))
+        return ys
 
-    step = jax.jit(step)
-    for _ in range(warmup):
-        x, y = step(x)
-    jax.block_until_ready(y)
+    run = jax.jit(run)
+    for _ in range(max(warmup, 1)):
+        ys = run(x)
+    jax.block_until_ready(ys)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        xi = x
-        for _ in range(iters):
-            xi, y = step(xi)
-        jax.block_until_ready(y)
+        ys = run(x)
+        jax.block_until_ready(ys)
         times.append((time.perf_counter() - t0) / iters)
     return float(np.median(times))
 
 
 def _candidates(ho: int) -> List[int]:
-    cands = [t for t in (8, 16, 32, 64) if t <= ho and ho % t == 0]
+    cands = [t for t in (8, 16, 32, 64, 128) if t <= ho and ho % t == 0]
     if ho <= 64 and ho not in cands:
         cands.append(ho)
     return cands or [ho]
@@ -125,16 +133,22 @@ def tune_graph(
     images = jnp.asarray(rng.randint(0, 256, (batch, h, w, 3), np.uint8))
     sweep = {}
     for tile in _candidates(hs):
-        ms = _time_fn(lambda x, t=tile: fused_stem(x, graph["stem"], tile_oh=t),
-                      images, iters) * 1e3
+        try:
+            ms = _time_fn(lambda x, t=tile: fused_stem(x, graph["stem"], tile_oh=t),
+                          images, iters) * 1e3
+        except Exception as exc:
+            if verbose:
+                print(f"{sig} tile_oh={tile}: failed ({type(exc).__name__})")
+            continue
         sweep[str(tile)] = round(ms, 4)
         if verbose:
             print(f"{sig} tile_oh={tile}: {ms:.3f} ms")
-    best = min(sweep, key=sweep.get)
-    default = sweep.get(str(hs if hs <= 32 else 32), sweep[best])
-    table[sig] = {"tile_oh": int(best), "ms": sweep[best], "candidates": sweep,
-                  "default_ms": default,
-                  "speedup": round(default / sweep[best], 3)}
+    if sweep:
+        best = min(sweep, key=sweep.get)
+        default = sweep.get(str(hs if hs <= 32 else 32), sweep[best])
+        table[sig] = {"tile_oh": int(best), "ms": sweep[best], "candidates": sweep,
+                      "default_ms": default,
+                      "speedup": round(default / sweep[best], 3)}
 
     # --- blocks ---
     cur_h, cur_w = hs, ws
@@ -156,21 +170,47 @@ def tune_graph(
                       if "shared_step" in blk else None)
             x = pad_act(jnp.asarray(
                 rng.randint(-8, 8, (batch, cur_h, cur_w, cin)).astype(np.int8)))
+            from spef_tpu.ops.pallas.fused_block import (
+                _VMEM_LIMIT, act_layout, mbconv_vmem_bytes,
+            )
+
+            w2, cp = act_layout(cur_h, cur_w, cin)
+            chp = cp if "expand" not in blk else -(-ch // 128) * 128
+            wo = cur_w // stride
+            wo2, cop = act_layout(ho, wo, cout)
             sweep = {}
             for tile in _candidates(ho):
-                ms = _time_fn(
-                    lambda xx, t=tile: fused_mbconv(
-                        xx, blk, in_step=step, out_grid=out_grid,
-                        shared_grid=shared, logical_hw=(cur_h, cur_w), tile_oh=t),
-                    x, iters) * 1e3
-                sweep[str(tile)] = round(ms, 4)
-                if verbose:
-                    print(f"{sig} tile_oh={tile}: {ms:.3f} ms")
-            best = min(sweep, key=sweep.get)
-            default = sweep.get(str(ho if ho <= 32 else 32), sweep[best])
-            table[sig] = {"tile_oh": int(best), "ms": sweep[best],
-                          "candidates": sweep, "default_ms": default,
-                          "speedup": round(default / sweep[best], 3)}
+                sr = tile + 2 if stride == 1 else 2 * tile + 2
+                for nb in (1, 4, 16, 64):
+                    if batch % nb or nb * sr * w2 > 32768:
+                        continue
+                    est = nb * mbconv_vmem_bytes(tile, stride, w2, wo, wo2, cp,
+                                                 chp, cop, "expand" in blk)
+                    if est > int(_VMEM_LIMIT * 0.9):
+                        continue
+                    key = f"t{tile}b{nb}"
+                    try:
+                        ms = _time_fn(
+                            lambda xx, t=tile, n=nb: fused_mbconv(
+                                xx, blk, in_step=step, out_grid=out_grid,
+                                shared_grid=shared, logical_hw=(cur_h, cur_w),
+                                tile_oh=t, tile_b=n),
+                            x, iters) * 1e3
+                    except Exception as exc:  # compile-side OOM etc.: skip
+                        if verbose:
+                            print(f"{sig} {key}: failed ({type(exc).__name__})")
+                        continue
+                    sweep[key] = round(ms, 4)
+                    if verbose:
+                        print(f"{sig} {key}: {ms:.3f} ms")
+            if sweep:
+                best = min(sweep, key=sweep.get)
+                bt, bb = best[1:].split("b")
+                default = sweep.get(f"t{ho if ho <= 32 else 32}b1", sweep[best])
+                table[sig] = {"tile_oh": int(bt), "tile_b": int(bb),
+                              "ms": sweep[best], "candidates": sweep,
+                              "default_ms": default,
+                              "speedup": round(default / sweep[best], 3)}
         # track grid + shape evolution like the executor does
         if blk["use_residual"]:
             og = _consumer_grid(graph, i)

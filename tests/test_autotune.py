@@ -18,16 +18,20 @@ def test_signature_and_roundtrip(tmp_path, monkeypatch):
 
     sig = at.block_signature("mbconv", 64, 64, 24, 144, 24, 1)
     assert sig == "mbconv:h64w64ci24ch144co24s1"
-    assert at.lookup_tile(sig) is None  # empty table
+    assert at.lookup_tile(sig) == (0, 0)  # empty table
 
-    table = {sig: {"tile_oh": 16, "ms": 0.5, "candidates": {"16": 0.5, "32": 0.7},
+    table = {sig: {"tile_oh": 16, "tile_b": 4, "ms": 0.5,
+                   "candidates": {"t16b4": 0.5, "t32b1": 0.7},
                    "default_ms": 0.7, "speedup": 1.4}}
     at.save_tuning(table, path)
-    assert at.lookup_tile(sig) == 16
+    assert at.lookup_tile(sig) == (16, 4)
     # reload from disk (fresh cache)
     monkeypatch.setattr(at, "_cache", None)
-    assert at.lookup_tile(sig) == 16
+    assert at.lookup_tile(sig) == (16, 4)
     assert json.load(open(path))[sig]["speedup"] == 1.4
+    # legacy entries without tile_b fall back to auto batch-tiling
+    at.save_tuning({sig: {"tile_oh": 8}}, path)
+    assert at.lookup_tile(sig) == (8, 0)
 
 
 def test_candidates_divide_output_rows():

@@ -77,3 +77,57 @@ def test_default_recipe_unquantized_expand():
     for a, b in ((ref_out, pal_out), (ref_out, xla_out)):
         m = compare_tensors(a[0], b[0])
         assert m["cosine"] > 0.9999, m
+
+
+def test_fused_pipeline_matches_reference_with_batch_tiling(setup):
+    """Whole-pipeline parity of the fused-block executor (int8_fused), with a
+    batch size that activates tile_b > 1 (multiple images per program)."""
+    from spef_tpu.quant.int8_fused import build_fused_forward
+
+    model, graph, _ = setup
+    images = jnp.asarray(
+        np.random.RandomState(17).randint(0, 256, (8, 32, 48, 3), dtype=np.uint8)
+    )
+    ref_out = build_int8_forward(graph)(images)
+    fused = build_fused_forward(graph, interpret=True)
+    fused_out = fused(images)
+    for r, p, name in ((ref_out[0], fused_out[0], "ori"),
+                       (ref_out[1], fused_out[1], "pos")):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r), rtol=1e-3,
+                                   atol=1e-3, err_msg=name)
+
+
+def test_fused_mbconv_tile_b_variants_identical():
+    """fused_mbconv output is invariant to (tile_oh, tile_b) choices."""
+    from spef_tpu.ops.pallas.fused_block import fused_mbconv, pad_act
+
+    rng = np.random.RandomState(3)
+    blk = {
+        "use_residual": False,
+        "input_quant": True,
+        "expand_ratio": 4,
+        "shared_step": 0.07,
+        "shared_qmax": 127.0,
+        "expand": {"w_int": jnp.asarray(rng.randint(-8, 8, (1, 1, 32, 64), np.int8)),
+                   "mult_core": jnp.asarray(rng.rand(64).astype(np.float32) * 1e-2),
+                   "bias": jnp.asarray(rng.randn(64).astype(np.float32) * 1e-2),
+                   "stride": 1, "groups": 1, "act_step": 0.045, "act_qmax": 255.0},
+        "depthwise": {"w_int": jnp.asarray(rng.randint(-8, 8, (3, 3, 1, 64), np.int8)),
+                      "mult_core": jnp.asarray(rng.rand(64).astype(np.float32) * 1e-2),
+                      "bias": jnp.asarray(rng.randn(64).astype(np.float32) * 1e-2),
+                      "stride": 2, "groups": 64, "act_step": 0.03, "act_qmax": 255.0},
+        "project": {"w_int": jnp.asarray(rng.randint(-8, 8, (1, 1, 64, 32), np.int8)),
+                    "mult_core": jnp.asarray(rng.rand(32).astype(np.float32) * 1e-2),
+                    "bias": jnp.asarray(rng.randn(32).astype(np.float32) * 1e-2),
+                    "stride": 1, "groups": 1},
+    }
+    x = pad_act(jnp.asarray(rng.randint(-64, 64, (4, 16, 16, 32), np.int8)))
+    out_grid = {"step": 0.06, "qmax": 127.0, "qmin": -128.0}
+    outs = []
+    for tile_oh, tile_b in ((8, 1), (8, 4), (4, 2)):
+        with pltpu.force_tpu_interpret_mode():
+            o = fused_mbconv(x, blk, in_step=0.05, out_grid=out_grid,
+                             logical_hw=(16, 16), tile_oh=tile_oh, tile_b=tile_b)
+        outs.append(np.asarray(o))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
