@@ -23,7 +23,9 @@ import jax
 
 
 def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 1001,
-                   data_parallel: bool = False, cache_dataset: bool = False) -> dict:
+                   data_parallel: bool = False, cache_dataset: bool = False,
+                   checkpoint: bool = False, epochs: int = 0,
+                   device_augment: bool = False) -> dict:
     from spef_tpu.codec.facade import SPEUtils
     from spef_tpu.config.train_config import save_config
     from spef_tpu.data.camera import load_camera
@@ -37,7 +39,11 @@ def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 10
     from spef_tpu.utils.experiment import prepare_directories, save_score_error, set_seed
 
     set_seed(seed)
-    save_folder = prepare_directories(os.path.join(out_root, name))
+    # With checkpointing, an existing directory is resumed in place — a
+    # versioned copy would orphan the checkpoints it is meant to restore.
+    save_folder = prepare_directories(
+        os.path.join(out_root, name),
+        on_collision="reuse" if checkpoint else "version")
     print(f"\nResults will be saved to {save_folder}\n")
 
     camera = load_camera(cfg.DATA.PATH)
@@ -53,9 +59,13 @@ def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 10
     )
 
     rot_augment = None
-    if cfg.DATA.ROT_AUGMENT:
+    if cfg.DATA.ROT_AUGMENT and not device_augment:
         # Host-side yaw warp (cv2) in the loader — the TPU executes
         # fine-grained warp gathers poorly (see data/augment_host.py).
+        # On single-core hosts pass --device-augment instead: one core
+        # cannot hide ~640 ms of cv2 warps per 64-image batch behind the
+        # device step, while the device-side warp costs ~213 ms/batch and
+        # leaves the host free to feed batches.
         from spef_tpu.data.augment_host import HostRotationAugment
 
         rot_augment = HostRotationAugment(camera, seed=seed)
@@ -116,12 +126,18 @@ def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 10
 
     trainer = Trainer(
         spe_utils, spe_loss, camera,
-        rot_augment=False,  # handled host-side in the loader (above)
+        rot_augment=bool(cfg.DATA.ROT_AUGMENT and device_augment),
         other_augment=cfg.DATA.OTHER_AUGMENT,
         clip_batchnorm=cfg.TRAIN.CLIP_BATCHNORM, seed=seed, mesh=mesh,
     )
+    ckpt_mngr = None
+    if checkpoint:
+        from spef_tpu.train.checkpoint import CheckpointManager
+
+        ckpt_mngr = CheckpointManager(os.path.join(save_folder, "checkpoints"))
     state, rec_loss, rec_score, rec_error = trainer.fit(
-        state, data, cfg.TRAIN.N_EPOCH, scheduler, split["train"], writer=writer,
+        state, data, epochs or cfg.TRAIN.N_EPOCH, scheduler, split["train"],
+        writer=writer, checkpoint_manager=ckpt_mngr, resume=checkpoint,
     )
     if writer is not None:
         writer.close()
@@ -148,6 +164,16 @@ def main(argv=None):
     parser.add_argument("--cache-dataset", action="store_true",
                         help="decode each split once, serve epochs from RAM "
                              "(device-bound training on few-core hosts)")
+    parser.add_argument("--checkpoint", action="store_true",
+                        help="orbax-checkpoint every epoch into "
+                             "<out>/<exp>/checkpoints and auto-resume from the "
+                             "latest one; the best-on-valid model is persisted "
+                             "at every improvement")
+    parser.add_argument("--epochs", type=int, default=0,
+                        help="override TRAIN.N_EPOCH (0 = use config)")
+    parser.add_argument("--device-augment", action="store_true",
+                        help="run the yaw-warp augmentation on-device instead "
+                             "of host-side cv2 (faster on single-core hosts)")
     args = parser.parse_args(argv)
 
     if args.config:
@@ -161,14 +187,17 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     for name, paths in exps.items():
         out_dir = os.path.join(args.out, name)
-        if os.path.isdir(out_dir) and os.listdir(out_dir):
+        if os.path.isdir(out_dir) and os.listdir(out_dir) and not args.checkpoint:
+            # With --checkpoint an existing directory means "resume", not "skip".
             print(f"Skip {name}: {out_dir} already exists")
             continue
         try:
             cfg = load_config(paths["config"])
             run_experiment(name, cfg, paths["bit_width"], args.out, args.seed,
                            data_parallel=args.data_parallel,
-                           cache_dataset=args.cache_dataset)
+                           cache_dataset=args.cache_dataset,
+                           checkpoint=args.checkpoint, epochs=args.epochs,
+                           device_augment=args.device_augment)
         except Exception:
             # Per-experiment error isolation (reference `train.py:106-131`).
             os.makedirs(out_dir, exist_ok=True)

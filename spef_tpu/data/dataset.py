@@ -206,7 +206,26 @@ class CachedBatchLoader(BatchLoader):
 
     _cache: Optional[np.ndarray] = None
 
+    def _cache_path(self) -> Optional[str]:
+        """Sidecar file for the decoded split: decoding 20k JPEGs costs
+        ~20 min on a single-core host, so the decoded uint8 tensor is
+        persisted next to the images and memmapped on later runs (restarts
+        under checkpoint/resume then start in seconds)."""
+        if not self.manifest.records:
+            return None
+        img_dir = os.path.dirname(self.manifest.records[0].image_path)
+        h, w = self.img_size
+        return os.path.join(
+            img_dir, f".decoded_{h}x{w}_{len(self.manifest)}.npy")
+
     def _materialize(self) -> None:
+        path = self._cache_path()
+        if path and os.path.isfile(path):
+            arr = np.load(path, mmap_mode="r")
+            expect = (len(self.manifest),) + tuple(self.img_size) + (3,)
+            if arr.shape == expect and arr.dtype == np.uint8:
+                self._cache = arr
+                return
         base = BatchLoader(self.manifest, self.batch_size, self.img_size,
                            shuffle=False, n_workers=self.n_workers,
                            drop_remainder=False)
@@ -216,6 +235,14 @@ class CachedBatchLoader(BatchLoader):
             chunks.append(batch["images"][:n_valid])
         self._cache = np.concatenate(chunks) if chunks else np.zeros(
             (0,) + tuple(self.img_size) + (3,), np.uint8)
+        if path:
+            try:  # best-effort: read-only dataset dirs fall back to RAM-only
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    np.save(f, self._cache)
+                os.replace(tmp, path)
+            except OSError:
+                pass
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self._cache is None:

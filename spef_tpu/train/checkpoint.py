@@ -52,6 +52,28 @@ class CheckpointManager:
     def latest_epoch(self) -> Optional[int]:
         return self._mngr.latest_step()
 
+    def save_best(self, params, batch_stats, meta: Optional[Dict[str, Any]] = None) -> str:
+        """Durably persist the best-so-far model (params + BN stats).
+
+        The trainer keeps the running best in host memory and only writes it
+        after the final epoch (reference behaviour, `training.py:173-190`);
+        on preemption that best would be lost even with epoch checkpoints,
+        because the *latest* state is not the *best* state.  Writing a small
+        msgpack at every improvement makes the best model durable.
+        """
+        from flax import serialization
+
+        path = os.path.join(self.directory, "best_model.msgpack")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(
+                {"params": params, "batch_stats": batch_stats}))
+        os.replace(tmp, path)
+        if meta is not None:
+            with open(os.path.join(self.directory, "best_meta.json"), "w") as f:
+                json.dump(meta, f, default=float)
+        return path
+
     def restore(self, state, epoch: Optional[int] = None) -> Tuple[Any, Dict[str, Any]]:
         """Restore into a template TrainState; returns (state, meta)."""
         epoch = epoch if epoch is not None else self.latest_epoch()

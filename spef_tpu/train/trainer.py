@@ -216,6 +216,17 @@ class Trainer:
             rng = jax.random.PRNGKey(self.seed + start_epoch * 7919)
             if self.mesh is not None:
                 state = replicate(self.mesh, state)
+            # Reload the durable best-so-far model so the post-fit "restore
+            # best" step works across preemptions (see CheckpointManager.save_best).
+            import os as _os
+            best_path = _os.path.join(checkpoint_manager.directory, "best_model.msgpack")
+            if _os.path.isfile(best_path):
+                from flax import serialization as _ser
+                with open(best_path, "rb") as f:
+                    best = _ser.from_bytes(
+                        {"params": state.params, "batch_stats": state.batch_stats},
+                        f.read())
+                best_params = (best["params"], best["batch_stats"])
             if verbose:
                 print(f"Resumed from epoch {start_epoch - 1} (best_loss={best_loss:.4f})")
 
@@ -272,6 +283,11 @@ class Trainer:
                     best_params = jax.tree_util.tree_map(np.asarray, (state.params, state.batch_stats))
                     best_loss = running_loss
                     best_epoch = epoch
+                    if checkpoint_manager is not None:
+                        checkpoint_manager.save_best(
+                            best_params[0], best_params[1],
+                            meta={"epoch": epoch, "valid_loss": running_loss},
+                        )
 
                 if writer is not None:
                     for key in _METRIC_KEYS:

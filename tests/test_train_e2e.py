@@ -162,3 +162,72 @@ def test_augmented_training_step_runs(dataset, spe_utils):
         return p
 
     jax.tree_util.tree_map_with_path(check, state2.params)
+
+
+def test_fit_checkpoint_resume_preserves_best(dataset, spe_utils, tmp_path):
+    """Interrupted fit resumes from the latest epoch checkpoint, and the
+    durable best-on-valid model survives the interruption (trainer.fit +
+    CheckpointManager.save_best — capability the reference lacks)."""
+    from spef_tpu.train.checkpoint import CheckpointManager
+
+    data, split = load_dataset(dataset, batch_size=6, img_size=(48, 64))
+
+    def fresh_state():
+        model = import_model(
+            backbone_name="small", head_name="ursonet", img_size=(48, 64),
+            ori_mode="classification", n_ori_bins=spe_utils.orientation.n_bins,
+            pos_mode="regression",
+        )
+        tx, sched = import_optimizer(learning_rate=0.05, milestones=(50,))
+        return create_train_state(model, tx), sched
+
+    loss = SPELoss("classification", "regression", beta=1.0, norm_distance=True)
+    trainer = Trainer(spe_utils, loss)
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+
+    # Phase 1: train 2 epochs with checkpointing ("interrupted" run).
+    state, _ = fresh_state()[0], None
+    state, rec1, _, _ = trainer.fit(
+        state, data, n_epochs=2, split=("train", "valid"), verbose=False,
+        checkpoint_manager=mngr,
+    )
+    assert mngr.latest_epoch() == 2
+    assert os.path.isfile(os.path.join(mngr.directory, "best_model.msgpack"))
+
+    # Phase 2: fresh process-equivalent state, resume to epoch 4.
+    state2, _ = fresh_state()
+    state2, rec2, _, _ = trainer.fit(
+        state2, data, n_epochs=4, split=("train", "valid"), verbose=False,
+        checkpoint_manager=mngr, resume=True,
+    )
+    assert len(rec2["train"]) == 2  # only epochs 3-4 ran
+    assert mngr.latest_epoch() == 4
+    # The returned state is the best-on-valid model: finite and usable.
+    model = import_model(
+        backbone_name="small", head_name="ursonet", img_size=(48, 64),
+        ori_mode="classification", n_ori_bins=spe_utils.orientation.n_bins,
+        pos_mode="regression",
+    )
+    model.variables = {"params": state2.params, "batch_stats": state2.batch_stats}
+    engine = SPEJax(model, spe_utils)
+    score, _ = evaluation(engine, data, spe_utils, split=("valid",))
+    assert np.isfinite(score["valid"]["esa"][0])
+
+
+def test_cached_loader_disk_persistence(dataset):
+    """The decoded-split cache is persisted to disk and reloaded by a fresh
+    loader (restart path: no re-decode)."""
+    import glob
+
+    data, _ = load_dataset(dataset, batch_size=6, img_size=(48, 64), cache=True)
+    first = [b["images"].copy() for b in data["valid"]]
+    sidecars = glob.glob(os.path.join(dataset, "*", "images", ".decoded_*.npy"))
+    assert sidecars, "decoded cache sidecar not written"
+
+    data2, _ = load_dataset(dataset, batch_size=6, img_size=(48, 64), cache=True)
+    loader = data2["valid"]
+    loader._materialize()
+    assert isinstance(loader._cache, np.memmap)
+    second = [b["images"] for b in data2["valid"]]
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
