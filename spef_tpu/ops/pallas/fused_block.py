@@ -184,9 +184,16 @@ def _mbconv_kernel(
     has_expand, hidden_grid, use_residual,
     inv_h, qmax_h, inv_d, qmax_d,
     inv_sh, qmax_sh, ratio_out, qmin_o, qmax_o, n_tiles,
+    stage="full",
 ):
     """One (batch-chunk, row-tile) program over NB images.  refs:
-    [w1, m1, b1]?, w2, m2, b2, w3, m3, b3, out, slab, sem."""
+    [w1, m1, b1]?, w2, m2, b2, w3, m3, b3, out, slab, sem.
+
+    ``stage`` truncates the kernel for on-chip cost attribution
+    (benchmarks/probe_stage.py): 'dma' stops after the slab copy,
+    'expand' after the hidden tensor, 'dw' after the depthwise stage;
+    truncated variants store a reduction of the live tensor so Mosaic
+    cannot dead-code the measured work."""
     if has_expand:
         w1, m1, b1, w2, m2, b2, w3, m3, b3, out_ref, slab, sem = refs
     else:
@@ -201,41 +208,81 @@ def _mbconv_kernel(
     _row_dma_cases(x_hbm, slab, sem, b, t, start, NR, H, n_tiles,
                    bottom_halo=(stride == 1), nb=NB)
 
-    # validity mask: input row (start+r) in [0, H), col in [1, W+1)
+    def _probe_store(live):  # anti-DCE: fold the live tensor into the output
+        v = jnp.max(live.astype(jnp.float32)).astype(jnp.int8)
+        out_ref[:] = jnp.full((NB, tile_oh, Wo2, Cop), v, jnp.int8)
+
+    if stage == "dma":
+        _probe_store(slab[:])
+        return
+
+    def expand_fn(xi, n_cols, mask):
+        """int8 tile -> hidden tile: exact integer matmul via bf16 + requant.
+        mask zeroes halo columns / out-of-image rows (bias makes them
+        nonzero otherwise)."""
+        if has_expand:
+            xs = xi.reshape(NB * SR * n_cols, Cp).astype(jnp.bfloat16)
+            acc = jnp.dot(xs, w1[:].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+            hh = jnp.maximum(acc * m1[:] + b1[:], 0.0)
+            if hidden_grid:
+                hh = jnp.clip(jnp.round(hh * inv_h), 0.0, qmax_h)
+            return hh.reshape(NB, SR, n_cols, Chp) * mask
+        return xi.astype(jnp.float32) * mask
+
     rows = jax.lax.broadcasted_iota(jnp.int32, (SR, W2), 0) + start
     cols = jax.lax.broadcasted_iota(jnp.int32, (SR, W2), 1)
-    valid = (rows >= 0) & (rows < H) & (cols >= 1) & (cols <= W)
-    mask = valid.astype(jnp.float32)[None, :, :, None]
+    rows_ok = (rows >= 0) & (rows < H)
 
-    # ---- expand 1x1 (exact integer matmul via bf16, K = Cp) ----
-    if has_expand:
-        xs = slab[:].reshape(NB * SR * W2, Cp).astype(jnp.bfloat16)
-        acc = jnp.dot(xs, w1[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
-        h = jnp.maximum(acc * m1[:] + b1[:], 0.0)
-        if hidden_grid:
-            h = jnp.clip(jnp.round(h * inv_h), 0.0, qmax_h)
-        h = h.reshape(NB, SR, W2, Chp) * mask
-    else:
-        h = slab[:].astype(jnp.float32) * mask
-
-    # ---- depthwise 3x3 (+ stride) ----
     w2f = w2[:].astype(jnp.float32)  # (9, Chp)
     acc = jnp.zeros((NB, th, Wo, Chp), jnp.float32)
     if stride == 1:
+        valid = rows_ok & (cols >= 1) & (cols <= W)
+        h = expand_fn(slab[:], W2, valid.astype(jnp.float32)[None, :, :, None])
+        if stage == "expand":
+            _probe_store(h)
+            return
         for dy in range(3):
             for dx in range(3):
                 tap = jax.lax.slice(h, (0, dy, dx, 0), (NB, dy + th, dx + W, Chp))
                 acc = acc + tap * w2f[3 * dy + dx]
     else:
+        # Column phases split on the INT8 slab (6x cheaper than gathering
+        # the expanded hidden tensor): even cols 2k, odd cols 2k+1.  Output
+        # col c reads input cols 2c+dx -> dx=0: even[c], dx=1: odd[c],
+        # dx=2: even[c+1].
+        W2h = W2 // 2
+        # Column-pair reshape onto the lane axis: (W2, Cp) -> (W2h, 2*Cp),
+        # then 128-aligned lane slices pick the even/odd phases.  Mosaic
+        # supports neither stride-2 slices nor the gather that integer
+        # indexing on a phase axis would produce.
+        xp = slab[:].reshape(NB, SR, W2h, 2 * Cp)
+        xe = jax.lax.slice(xp, (0, 0, 0, 0), (NB, SR, W2h, Cp))
+        xo = jax.lax.slice(xp, (0, 0, 0, Cp), (NB, SR, W2h, 2 * Cp))
+        rows_h = jax.lax.broadcasted_iota(jnp.int32, (SR, W2h), 0) + start
+        ce = 2 * jax.lax.broadcasted_iota(jnp.int32, (SR, W2h), 1)  # even col ids
+        rows_ok_h = (rows_h >= 0) & (rows_h < H)
+        ve = rows_ok_h & (ce >= 1) & (ce <= W)
+        vo = rows_ok_h & (ce + 1 >= 1) & (ce + 1 <= W)
+        he = expand_fn(xe, W2h, ve.astype(jnp.float32)[None, :, :, None])
+        ho = expand_fn(xo, W2h, vo.astype(jnp.float32)[None, :, :, None])
+        if stage == "expand":
+            _probe_store(he + ho)
+            return
         for dy in range(3):
-            rows3 = jax.lax.slice(h, (0, dy, 0, 0), (NB, dy + 2 * th, W2, Chp))
-            rows3 = rows3.reshape(NB, th, 2, W2, Chp)[:, :, 0]  # rows 2r+dy
-            for dx in range(3):
-                seg = jax.lax.slice(rows3, (0, 0, dx, 0), (NB, th, dx + 2 * Wo, Chp))
-                tap = seg.reshape(NB, th, Wo, 2, Chp)[:, :, :, 0]  # cols 2c+dx
-                acc = acc + tap * w2f[3 * dy + dx]
+            re = jax.lax.slice(he, (0, dy, 0, 0), (NB, dy + 2 * th, W2h, Chp))
+            re = re.reshape(NB, th, 2, W2h, Chp)[:, :, 0]  # input rows 2r+dy
+            ro = jax.lax.slice(ho, (0, dy, 0, 0), (NB, dy + 2 * th, W2h, Chp))
+            ro = ro.reshape(NB, th, 2, W2h, Chp)[:, :, 0]
+            acc = acc + jax.lax.slice(re, (0, 0, 0, 0), (NB, th, Wo, Chp)) * w2f[3 * dy]
+            acc = acc + jax.lax.slice(ro, (0, 0, 0, 0), (NB, th, Wo, Chp)) * w2f[3 * dy + 1]
+            acc = acc + jax.lax.slice(re, (0, 0, 1, 0), (NB, th, 1 + Wo, Chp)) * w2f[3 * dy + 2]
     y = jnp.maximum(acc * m2[:] + b2[:], 0.0)
     y = jnp.clip(jnp.round(y * inv_d), 0.0, qmax_d)
+
+    if stage == "dw":
+        _probe_store(y)
+        return
 
     # ---- project 1x1 + residual + output requant ----
     yb = y.reshape(NB * th * Wo, Chp).astype(jnp.bfloat16)
@@ -265,6 +312,7 @@ def fused_mbconv(
     tile_oh: int = 0,
     tile_b: int = 0,  # images per program (0 = auto: fill the MXU M dim)
     interpret: bool = False,
+    stage: str = "full",  # probe truncation, see _mbconv_kernel
 ) -> jax.Array:
     """Run one fused inverted-residual block; returns the layout tensor
     (B, Ho, Wo2, Cout128) int8 on the output grid.
@@ -375,6 +423,7 @@ def fused_mbconv(
         inv_sh=float(inv_sh), qmax_sh=float(qmax_sh),
         ratio_out=None if ratio_out is None else float(ratio_out),
         qmin_o=float(qmin_o), qmax_o=float(qmax_o), n_tiles=n_tiles,
+        stage=stage,
     )
 
     flops = 2 * B * Ho * Wo * Chp * ((Cp if has_expand else 0) + 9 + Cop)
