@@ -70,7 +70,7 @@ def mbconv_vmem_bytes(tile_oh: int, stride: int, W2: int, Wo: int, Wo2: int,
     taps/accumulator, the projection activations, weights, and the out
     tile.  Deliberately ~30% conservative — Mosaic keeps extra copies."""
     SR = tile_oh + 2 if stride == 1 else 2 * tile_oh + 2
-    slab = SR * W2 * Cp
+    slab = 2 * SR * W2 * Cp  # double-buffered input pipeline
     hidden = SR * W2 * Chp * (4 + 2)  # f32 + bf16 matmul operand
     dw = (3 if stride == 1 else 6) * tile_oh * W2 * Chp * 4
     proj = tile_oh * Wo * (Chp * 2 + Cop * 4 * 2)
@@ -120,11 +120,21 @@ def _pad1(a, n: int, fill: float = 0.0) -> jnp.ndarray:
 
 
 def _row_dma_cases(x_hbm, slab, sem, b, t, start, NR, H, n_tiles, top_halo=True,
-                   bottom_halo=True, nb=0):
+                   bottom_halo=True, nb=0, action="both", tile_rows=0):
     """DMA the row slab [start, start+NR) of image b (or of the ``nb``-image
     chunk starting at ``b*nb``), clamped to [0, H); slab row r then holds
     input row (start + r) where valid.  Full-width, full-channel copies only
-    (rows and batch are untiled dims)."""
+    (rows and batch are untiled dims).
+
+    ``action``: 'both' issues start+wait inline (serialized — probe shows
+    this costs 8-15 ms/block of pure stall); 'start'/'wait' split the copy
+    so callers can double-buffer it across grid steps (``slab``/``sem``
+    must then be the per-slot refs).  ``start`` may be a traced scalar; with
+    ``tile_rows`` set it is recomputed from ``t`` so a prefetching program
+    can describe ANOTHER tile's copy (wait must rebuild the same descriptor).
+    """
+    if tile_rows:
+        start = t * tile_rows - 1
 
     def copy(src_row0, n_rows, dst_row0):
         if nb:
@@ -134,8 +144,10 @@ def _row_dma_cases(x_hbm, slab, sem, b, t, start, NR, H, n_tiles, top_halo=True,
             src = x_hbm.at[b, pl.ds(src_row0, n_rows)]
             dst = slab.at[pl.ds(dst_row0, n_rows)]
         dma = pltpu.make_async_copy(src, dst, sem)
-        dma.start()
-        dma.wait()
+        if action in ("both", "start"):
+            dma.start()
+        if action in ("both", "wait"):
+            dma.wait()
 
     lead = 1 if top_halo else 0
     tail = 1 if bottom_halo else 0
@@ -204,9 +216,36 @@ def _mbconv_kernel(
     th = tile_oh
     start = stride * t * th - 1
     NR = SR if stride == 1 else SR - 1  # valid-row span [start, start+NR)
+    tile_rows = stride * th  # rows consumed per tile; start = t*tile_rows - 1
 
-    _row_dma_cases(x_hbm, slab, sem, b, t, start, NR, H, n_tiles,
-                   bottom_halo=(stride == 1), nb=NB)
+    # Double-buffered slab pipeline: program L computes from slot L%2 while
+    # slot (L+1)%2 receives the NEXT program's slab (incl. across the batch-
+    # chunk edge).  The serialized start+wait this replaces stalled 8-15 ms
+    # per block (benchmarks/probe_stage.py) — pure DMA wait under compute-
+    # free truncation, i.e. nothing was ever in flight during compute.
+    L = b * n_tiles + t
+    slot = jax.lax.rem(L, 2)
+    nxt = jax.lax.rem(L + 1, 2)
+
+    def issue(bb, tt, sl, action):
+        _row_dma_cases(x_hbm, slab.at[sl], sem.at[sl], bb, tt, None, NR, H,
+                       n_tiles, bottom_halo=(stride == 1), nb=NB,
+                       action=action, tile_rows=tile_rows)
+
+    @pl.when(L == 0)
+    def _prime():
+        issue(b, t, slot, "start")
+
+    @pl.when(t + 1 < n_tiles)
+    def _prefetch_tile():
+        issue(b, t + 1, nxt, "start")
+
+    @pl.when(jnp.logical_and(t + 1 == n_tiles, b + 1 < pl.num_programs(0)))
+    def _prefetch_chunk():
+        issue(b + 1, jnp.int32(0), nxt, "start")
+
+    issue(b, t, slot, "wait")
+    slab = slab.at[slot]
 
     def _probe_store(live):  # anti-DCE: fold the live tensor into the output
         v = jnp.max(live.astype(jnp.float32)).astype(jnp.int8)
@@ -435,8 +474,8 @@ def fused_mbconv(
                                lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Wo2, Cop), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((tile_b, SR, W2, Cp), jnp.int8),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, tile_b, SR, W2, Cp), jnp.int8),
+                        pltpu.SemaphoreType.DMA((2,))],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size + B * Ho * Wo2 * Cop, transcendentals=0
         ),
@@ -461,8 +500,30 @@ def _stem_kernel(xs_hbm, w_ref, m_ref, b_ref, out_ref, slab, sem, *,
     th = tile_oh
     start = t * th - 1
 
-    _row_dma_cases(xs_hbm, slab, sem, b, t, start, th + 1, Hs, n_tiles,
-                   bottom_halo=False)
+    # Same double-buffered slab pipeline as _mbconv_kernel.
+    L = b * n_tiles + t
+    slot = jax.lax.rem(L, 2)
+    nxt = jax.lax.rem(L + 1, 2)
+
+    def issue(bb, tt, sl, action):
+        _row_dma_cases(xs_hbm, slab.at[sl], sem.at[sl], bb, tt, None, th + 1,
+                       Hs, n_tiles, bottom_halo=False, action=action,
+                       tile_rows=th)
+
+    @pl.when(L == 0)
+    def _prime():
+        issue(b, t, slot, "start")
+
+    @pl.when(t + 1 < n_tiles)
+    def _prefetch_tile():
+        issue(b, t + 1, nxt, "start")
+
+    @pl.when(jnp.logical_and(t + 1 == n_tiles, b + 1 < pl.num_programs(0)))
+    def _prefetch_img():
+        issue(b + 1, jnp.int32(0), nxt, "start")
+
+    issue(b, t, slot, "wait")
+    slab = slab.at[slot]
 
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (th, Ws), 0)
     acc = jnp.zeros((th * Ws, Cop), jnp.float32)
@@ -532,7 +593,7 @@ def fused_stem(
     bias = _pad1(stem["bias"], Cop)
 
     def vmem_of(t):
-        slab = (t + 1) * Ws2 * 128
+        slab = 2 * (t + 1) * Ws2 * 128  # double-buffered
         taps = 3 * t * Ws2 * 128 * 4 + t * Ws * 128 * 2
         acc = t * Ws * Cop * 4 * 2
         return slab + taps + acc + 4 * 128 * Cop * 4 + 2 * t * Ws2 * Cop
@@ -560,8 +621,8 @@ def fused_stem(
         out_specs=pl.BlockSpec((1, tile_oh, Ws2, Cop), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hs, Ws2, Cop), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((tile_oh + 1, Ws2, 128), jnp.int8),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, tile_oh + 1, Ws2, 128), jnp.int8),
+                        pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xs, w4, m, bias)
