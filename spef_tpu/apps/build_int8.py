@@ -55,6 +55,11 @@ def main(argv=None):
     parser.add_argument("--fp32-checkpoint", default=None)
     parser.add_argument("--qat-checkpoint", default=None)
     parser.add_argument("--qat-epochs", type=int, default=0)
+    parser.add_argument("--recipe", default="default",
+                        choices=("default", "boundary"),
+                        help="bit-width family when no --bit-width file is "
+                             "given: 'boundary' = int8 block boundaries with "
+                             "real-valued interiors (TPU-speed recipe)")
     parser.add_argument("--calibrate", default=None,
                         choices=("absmax", "percentile", "mse", "entropy"),
                         help="PTQ activation calibration from data (no QAT needed) — "
@@ -88,6 +93,13 @@ def main(argv=None):
                                shuffle=cfg.DATA.SHUFFLE, seed=args.seed)
 
     bit_width = load_bit_width(args.bit_width) if args.bit_width else None
+    if bit_width is None and args.recipe == "boundary":
+        from spef_tpu.quant.bitwidth import boundary_bit_width
+
+        # int8 between blocks, real-valued interiors: the TPU-speed recipe
+        # (the fused kernels then skip every inner requant; see
+        # quant/bitwidth.boundary_bit_width).
+        bit_width = boundary_bit_width()
 
     # Quantized model (name aliases map *_pytorch -> *_q here).
     qat_model = import_model(

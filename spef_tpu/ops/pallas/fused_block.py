@@ -194,7 +194,7 @@ def _mbconv_kernel(
     x_hbm, *refs,
     NB, H, W, Wo, W2, Wo2, Cp, Chp, Cop, SR, stride, tile_oh,
     has_expand, hidden_grid, use_residual,
-    inv_h, qmax_h, inv_d, qmax_d,
+    inv_h, qmax_h, inv_d, qmax_d, dw_grid,
     inv_sh, qmax_sh, ratio_out, qmin_o, qmax_o, n_tiles,
     stage="full",
 ):
@@ -317,7 +317,8 @@ def _mbconv_kernel(
             acc = acc + jax.lax.slice(ro, (0, 0, 0, 0), (NB, th, Wo, Chp)) * w2f[3 * dy + 1]
             acc = acc + jax.lax.slice(re, (0, 0, 1, 0), (NB, th, 1 + Wo, Chp)) * w2f[3 * dy + 2]
     y = jnp.maximum(acc * m2[:] + b2[:], 0.0)
-    y = jnp.clip(jnp.round(y * inv_d), 0.0, qmax_d)
+    if dw_grid:
+        y = jnp.clip(jnp.round(y * inv_d), 0.0, qmax_d)
 
     if stage == "dw":
         _probe_store(y)
@@ -406,7 +407,10 @@ def fused_mbconv(
     vin(m2)
     vin(_pad1(d["bias"], Chp))
     vin(_pad2(np.asarray(p["w_int"]).reshape(Ch, Cout), Chp, Cop))
-    vin(_pad1(np.asarray(p["mult_core"]) * d["act_step"], Cop))
+    # Boundary-only recipe: no depthwise act grid -> the projection consumes
+    # real values, so its multiplier is unscaled.
+    dw_grid = "act_step" in d
+    vin(_pad1(np.asarray(p["mult_core"]) * (d["act_step"] if dw_grid else 1.0), Cop))
     vin(_pad1(p["bias"], Cop))
 
     if use_residual:
@@ -458,7 +462,8 @@ def fused_mbconv(
         has_expand=has_expand, hidden_grid=hidden_grid, use_residual=use_residual,
         inv_h=float(1.0 / e["act_step"]) if hidden_grid else 1.0,
         qmax_h=float(e["act_qmax"]) if hidden_grid else 127.0,
-        inv_d=float(1.0 / d["act_step"]), qmax_d=float(d["act_qmax"]),
+        inv_d=float(1.0 / d["act_step"]) if dw_grid else 1.0,
+        qmax_d=float(d["act_qmax"]) if dw_grid else 0.0, dw_grid=dw_grid,
         inv_sh=float(inv_sh), qmax_sh=float(qmax_sh),
         ratio_out=None if ratio_out is None else float(ratio_out),
         qmin_o=float(qmin_o), qmax_o=float(qmax_o), n_tiles=n_tiles,

@@ -327,4 +327,6 @@ def xla_depthwise3x3(
         preferred_element_type=jnp.float32,
     )
     y = jnp.maximum(y * (mult * in_step) + bias, 0.0)
+    if out_inv_step is None:  # boundary-only recipe: no dw act grid
+        return y.astype(jnp.bfloat16)
     return jnp.clip(jnp.round(y * out_inv_step), 0.0, out_qmax).astype(jnp.int8)

@@ -28,7 +28,8 @@ import os
 import warnings
 from typing import Optional
 
-__all__ = ["load_bit_width", "save_bit_width", "default_bit_width"]
+__all__ = ["load_bit_width", "save_bit_width", "default_bit_width",
+           "boundary_bit_width"]
 
 
 def load_bit_width(path: str) -> Optional[dict]:
@@ -72,6 +73,33 @@ def default_bit_width(n_blocks: int = 17, w: int = 3, a: int = 3, shared: int = 
         "image": 8,
         "first_conv": (w, a),
         "last_conv": (w, a),
+        "shared_act": shared,
+        "inverted_residual": blocks,
+        "fully_connected": (8, 8),
+        "pooling": 8,
+    }
+
+
+def boundary_bit_width(n_blocks: int = 17, w: int = 8, shared: int = 8) -> dict:
+    """Boundary-only quantization recipe: int8 activations BETWEEN blocks,
+    real-valued (bf16) activations inside them.
+
+    TPU-native deployment design point (no reference counterpart — FINN
+    requantizes in fabric for free, `/root/reference/src/finn/
+    build_steps.py:124-159`, so the reference always grids every
+    activation): on a TPU every inner round/clip is VPU work on a
+    6x-expanded hidden tensor, while HBM traffic — the actual roofline —
+    only depends on what crosses block boundaries.  This recipe keeps the
+    int8 boundary carries (the bandwidth win) and drops the interior grids
+    (the VPU cost), so the fused block kernels run matmul-bound.
+    Accuracy impact is measured by the build ladder (apps/build_int8.py).
+    """
+    blocks = [[(w, None), (w, None), (w,)] for _ in range(n_blocks)]
+    blocks[0] = [(None, None), (w, None), (w,)]
+    return {
+        "image": 8,
+        "first_conv": (w, 8),
+        "last_conv": (w, 8),
         "shared_act": shared,
         "inverted_residual": blocks,
         "fully_connected": (8, 8),

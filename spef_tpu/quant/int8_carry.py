@@ -136,8 +136,14 @@ def build_int8_carry_forward(graph: Dict[str, Any]):
             acc = _conv_acc(h, d["w_int"], d["stride"], hc)
             mult = d["mult_core"] * (1.0 if float_handoff else hstep)
             yf = jnp.maximum(acc * mult + d["bias"], 0.0)
-            h = _requant_int8(yf, d["act_step"], d["act_qmax"])
-            hstep = d["act_step"]
+            if "act_step" in d:
+                h = _requant_int8(yf, d["act_step"], d["act_qmax"])
+                hstep = d["act_step"]
+            else:
+                # Boundary-only recipe: the depthwise activation keeps real
+                # values inside the block; only the block output requantizes.
+                h = yf.astype(jnp.bfloat16)
+                hstep = 1.0
 
             p = blk["project"]
             acc = _conv_acc(h, p["w_int"], 1, 1)

@@ -73,10 +73,13 @@ def _xla_block(y, blk, step, out_grid):
     acc = _conv_acc(h, d["w_int"], d["stride"], h.shape[-1])
     mult = d["mult_core"] * (1.0 if float_handoff else hstep)
     yf = jnp.maximum(acc * mult + d["bias"], 0.0)
-    h = _requant_int8(yf, d["act_step"], d["act_qmax"])
+    if "act_step" in d:
+        h, dstep = _requant_int8(yf, d["act_step"], d["act_qmax"]), d["act_step"]
+    else:  # boundary-only recipe: real values into the projection
+        h, dstep = yf.astype(jnp.bfloat16), 1.0
     p = blk["project"]
     acc = _conv_acc(h, p["w_int"], 1, 1)
-    pf = acc * (p["mult_core"] * d["act_step"]) + p["bias"]
+    pf = acc * (p["mult_core"] * dstep) + p["bias"]
     if blk["use_residual"]:
         q = jnp.clip(jnp.round(pf / blk["shared_step"]),
                      -blk["shared_qmax"] - 1, blk["shared_qmax"]).astype(jnp.int32)

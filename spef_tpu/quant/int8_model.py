@@ -125,8 +125,11 @@ def int8_forward(graph: Dict[str, Any], images: jax.Array):
                 h_step = None
         d = blk["depthwise"]
         h = _conv_f32(h, d, relu=True)  # input already float on its grid
-        h = _requant(h, d["act_step"], d["act_qmax"])
-        h_step = d["act_step"]
+        if "act_step" in d:
+            h = _requant(h, d["act_step"], d["act_qmax"])
+            h_step = d["act_step"]
+        else:
+            h_step = None  # boundary-only recipe: float dw output
         p = blk["project"]
         h = _matmul_1x1(h, p, h_step, relu=False)  # linear projection, float out
 

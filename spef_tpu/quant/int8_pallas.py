@@ -144,21 +144,27 @@ def build_pallas_forward(
             # Mosaic cannot lower strided vector slices -> stride-2 layers
             # (4 of 17) take the XLA depthwise path even on backend='pallas';
             # float-input depthwise likewise.
-            dw_fn = dw if (d["stride"] == 1 and not float_handoff) else xla_depthwise3x3
+            dw_grid = "act_step" in d
+            dw_inv = float(1.0 / d["act_step"]) if dw_grid else None
+            dw_qmax = float(d["act_qmax"]) if dw_grid else 127.0
+            dw_fn = dw if (d["stride"] == 1 and not float_handoff and dw_grid) \
+                else xla_depthwise3x3
             if float_handoff:
                 # xla_depthwise3x3 accepts float input transparently.
                 hcur = xla_depthwise3x3(
                     hcur, d["w_int"].reshape(3, 3, hc), d["mult_core"], d["bias"],
                     stride=d["stride"], in_step=1.0,
-                    out_inv_step=float(1.0 / d["act_step"]), out_qmax=float(d["act_qmax"]),
+                    out_inv_step=dw_inv, out_qmax=dw_qmax,
                 )
             else:
                 hcur = dw_fn(
                     hcur, d["w_int"].reshape(3, 3, hc), d["mult_core"], d["bias"],
                     stride=d["stride"], in_step=float(hstep),
-                    out_inv_step=float(1.0 / d["act_step"]), out_qmax=float(d["act_qmax"]),
+                    out_inv_step=dw_inv, out_qmax=dw_qmax,
                 )
-            hstep = d["act_step"]
+            # Boundary-only recipe (no dw act grid): real values flow into
+            # the projection, whose multiplier is then unscaled.
+            hstep = d["act_step"] if dw_grid else 1.0
             hb, hh, hw, _ = hcur.shape
 
             p = blk["project"]

@@ -131,3 +131,45 @@ def test_fused_mbconv_tile_b_variants_identical():
         outs.append(np.asarray(o))
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_boundary_recipe_all_executors_agree():
+    """Boundary-only recipe (int8 between blocks, float interiors —
+    quant/bitwidth.boundary_bit_width): every executor must handle a block
+    with NO depthwise act grid and agree with the reference executor."""
+    from spef_tpu.quant.bitwidth import boundary_bit_width
+    from spef_tpu.quant.int8_fused import build_fused_forward
+    from spef_tpu.quant.int8_model import build_int8_forward as build_ref
+
+    model = import_model(
+        backbone_name="small_mobile_q", head_name="ursonet_q", img_size=(32, 48),
+        bit_width=boundary_bit_width(n_blocks=2),
+        ori_mode="classification", n_ori_bins=64, pos_mode="regression", seed=23,
+    )
+    graph = convert_qat_params(model)
+    for blk in graph["blocks"]:
+        assert "act_step" not in blk["depthwise"]  # the recipe's point
+        if "expand" in blk:
+            assert "act_step" not in blk["expand"]
+
+    images = jnp.asarray(
+        np.random.RandomState(29).randint(0, 256, (4, 32, 48, 3), dtype=np.uint8)
+    )
+    ref_out = build_ref(graph)(images)
+    xla_out = build_pallas_forward(graph, backend="xla")(images)
+    with pltpu.force_tpu_interpret_mode():
+        pal_out = build_pallas_forward(graph, backend="pallas")(images)
+    fused_out = build_fused_forward(graph, interpret=True)(images)
+    for out, name in ((xla_out, "carry"), (pal_out, "pallas")):
+        m = compare_tensors(ref_out[0], out[0])
+        # Float interiors run bf16 in the deployment executors vs f32 in the
+        # reference one: close, not bit-exact.
+        assert m["cosine"] > 0.999, (name, m)
+        assert np.isfinite(np.asarray(out[0])).all(), name
+    # The fused kernel's f32 dw taps flip occasional requant TIES vs the
+    # reference's ordering (verified per-block: maxdiff == 1 int step).  On
+    # an untrained net the logits are ~1e-3, so cosine is meaningless —
+    # bound the absolute error in head-input quant steps instead.
+    m = compare_tensors(ref_out[0], fused_out[0])
+    assert m["mse"] < 5e-7 and m["zero_pattern"] == 1.0, m
+    assert np.isfinite(np.asarray(fused_out[0])).all()
