@@ -46,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_mbconv", "fused_stem", "pad_act", "unpad_act", "act_layout",
-           "mbconv_vmem_bytes"]
+           "mbconv_vmem_bytes", "PACK_MAX_C", "packed_width",
+           "act_layout_packed", "pad_act_packed", "unpad_act_packed"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -105,6 +106,45 @@ def pad_act(x: jax.Array) -> jax.Array:
 
 def unpad_act(x: jax.Array, w: int, c: int) -> jax.Array:
     return x[:, :, 1 : w + 1, :c]
+
+
+# --- width-packed layout for narrow boundary tensors (C <= 32) ------------
+#
+# The plain layout lane-pads C to 128, so a 16-32-channel early-block tensor
+# carries 4-8x its real bytes across HBM — and those blocks dominate the
+# pipeline's traffic (PERFORMANCE.md stage table).  The packed layout folds
+# 4 consecutive pixels into the 128-lane tile instead:
+#
+#     (B, H, W4, 128) int8,  W4 = round_up(W + 2, 32) // 4,
+#     lane = 32 * p + ch  for logical col 4*w4 + p  (col 0 = halo, zeros)
+#
+# Kernels unpack with ONE minor-dims reshape (W4, 128) -> (4*W4, 32) after
+# the slab DMA and repack outputs the same way, so only the copies change.
+
+PACK_MAX_C = 32
+
+
+def packed_width(w: int) -> int:
+    """W4 for logical width ``w`` (pixels per 128-lane group = 4)."""
+    return _round_up(w + 2, 32) // 4
+
+
+def act_layout_packed(h: int, w: int, c: int):
+    assert c <= PACK_MAX_C
+    return packed_width(w), 128
+
+
+def pad_act_packed(x: jax.Array) -> jax.Array:
+    """(B, H, W, C<=32) -> packed layout tensor (XLA-side)."""
+    b, h, w, c = x.shape
+    w4 = packed_width(w)
+    x = jnp.pad(x, ((0, 0), (0, 0), (1, 4 * w4 - w - 1), (0, 32 - c)))
+    return x.reshape(b, h, w4, 128)
+
+
+def unpad_act_packed(x: jax.Array, w: int, c: int) -> jax.Array:
+    b, h, w4, _ = x.shape
+    return x.reshape(b, h, 4 * w4, 32)[:, :, 1 : w + 1, :c]
 
 
 def _pad2(a, rows: int, cols: int) -> jnp.ndarray:
@@ -194,7 +234,7 @@ def _mbconv_kernel(
     x_hbm, *refs,
     NB, H, W, Wo, W2, Wo2, Cp, Chp, Cop, SR, stride, tile_oh,
     has_expand, hidden_grid, use_residual,
-    inv_h, qmax_h, inv_d, qmax_d, dw_grid,
+    inv_h, qmax_h, inv_d, qmax_d, dw_grid, in_packed, out_packed,
     inv_sh, qmax_sh, ratio_out, qmin_o, qmax_o, n_tiles,
     stage="full",
 ):
@@ -245,14 +285,20 @@ def _mbconv_kernel(
         issue(b + 1, jnp.int32(0), nxt, "start")
 
     issue(b, t, slot, "wait")
-    slab = slab.at[slot]
+    sl = slab.at[slot][:]
+    if in_packed:
+        # Packed layout: one minor-dims reshape unfolds 4 pixels/lane-group
+        # into (W2, 32) columns; everything downstream is layout-agnostic.
+        sl = sl.reshape(NB, SR, W2, Cp)
+
+    ow, oc = (Wo2 // 4, 128) if out_packed else (Wo2, Cop)
 
     def _probe_store(live):  # anti-DCE: fold the live tensor into the output
         v = jnp.max(live.astype(jnp.float32)).astype(jnp.int8)
-        out_ref[:] = jnp.full((NB, tile_oh, Wo2, Cop), v, jnp.int8)
+        out_ref[:] = jnp.full((NB, tile_oh, ow, oc), v, jnp.int8)
 
     if stage == "dma":
-        _probe_store(slab[:])
+        _probe_store(sl)
         return
 
     def expand_fn(xi, n_cols, mask):
@@ -277,7 +323,7 @@ def _mbconv_kernel(
     acc = jnp.zeros((NB, th, Wo, Chp), jnp.float32)
     if stride == 1:
         valid = rows_ok & (cols >= 1) & (cols <= W)
-        h = expand_fn(slab[:], W2, valid.astype(jnp.float32)[None, :, :, None])
+        h = expand_fn(sl, W2, valid.astype(jnp.float32)[None, :, :, None])
         if stage == "expand":
             _probe_store(h)
             return
@@ -295,7 +341,7 @@ def _mbconv_kernel(
         # then 128-aligned lane slices pick the even/odd phases.  Mosaic
         # supports neither stride-2 slices nor the gather that integer
         # indexing on a phase axis would produce.
-        xp = slab[:].reshape(NB, SR, W2h, 2 * Cp)
+        xp = sl.reshape(NB, SR, W2h, 2 * Cp)
         xe = jax.lax.slice(xp, (0, 0, 0, 0), (NB, SR, W2h, Cp))
         xo = jax.lax.slice(xp, (0, 0, 0, Cp), (NB, SR, W2h, 2 * Cp))
         rows_h = jax.lax.broadcasted_iota(jnp.int32, (SR, W2h), 0) + start
@@ -330,7 +376,7 @@ def _mbconv_kernel(
     pf = p * m3[:] + b3[:]
     if use_residual:
         q = jnp.clip(jnp.round(pf * inv_sh), -qmax_sh - 1.0, qmax_sh)
-        res = jax.lax.slice(slab[:], (0, 1, 1, 0), (NB, 1 + th, 1 + W, Cp))
+        res = jax.lax.slice(sl, (0, 1, 1, 0), (NB, 1 + th, 1 + W, Cp))
         s = q.reshape(NB, th, Wo, Cop) + res.astype(jnp.float32)
         if ratio_out is not None:
             out = jnp.clip(jnp.round(s * ratio_out), qmin_o, qmax_o)
@@ -339,7 +385,14 @@ def _mbconv_kernel(
     else:
         out = jnp.clip(jnp.round(pf * ratio_out), qmin_o,
                        qmax_o).reshape(NB, th, Wo, Cop)
-    _store_with_halo(out_ref, out.astype(jnp.int8), NB, th, Wo, Wo2, Cop)
+    if out_packed:
+        # Repack 4 pixels/lane-group: halo col 0 + trailing cols/channels as
+        # real zeros, then the inverse minor-dims reshape.
+        full = jnp.pad(out.astype(jnp.int8),
+                       ((0, 0), (0, 0), (1, Wo2 - Wo - 1), (0, 32 - Cop)))
+        out_ref[:] = full.reshape(NB, th, Wo2 // 4, 128)
+    else:
+        _store_with_halo(out_ref, out.astype(jnp.int8), NB, th, Wo, Wo2, Cop)
 
 
 def fused_mbconv(
@@ -353,22 +406,30 @@ def fused_mbconv(
     tile_b: int = 0,  # images per program (0 = auto: fill the MXU M dim)
     interpret: bool = False,
     stage: str = "full",  # probe truncation, see _mbconv_kernel
+    in_packed: bool = False,
+    out_packed: bool = False,
 ) -> jax.Array:
     """Run one fused inverted-residual block; returns the layout tensor
-    (B, Ho, Wo2, Cout128) int8 on the output grid.
+    (B, Ho, Wo2, Cout128) int8 — or the width-packed (B, Ho, Wo4, 128)
+    form when ``out_packed`` (Cout <= 32) — on the output grid.
 
     Grid folding mirrors quant/int8_carry.py exactly: residual blocks emit
     ``requant_to_shared(project) + residual`` and ratio-requant the exact
     integer sum to ``out_grid``; non-residual blocks requantize ``project``
     straight to ``out_grid``.
     """
-    B, H, W2, Cp = x.shape
     d = params["depthwise"]
     stride = d["stride"]
     if logical_hw is None:
         raise ValueError("logical_hw=(H, W) required (layout width is padded)")
     _, W = logical_hw
-    assert W2 == _round_up(W + 2, 8) and Cp % 128 == 0
+    if in_packed:
+        B, H, W4, _l = x.shape
+        assert _l == 128 and W4 == packed_width(W)
+        W2, Cp = 4 * W4, 32
+    else:
+        B, H, W2, Cp = x.shape
+        assert W2 == _round_up(W + 2, 8) and Cp % 128 == 0
     has_expand = "expand" in params
     use_residual = params["use_residual"]
     e = params.get("expand")
@@ -377,9 +438,13 @@ def fused_mbconv(
     Ch = d["w_int"].shape[-1]
     Cout = p["w_int"].shape[-1]
     Chp = Cp if not has_expand else _round_up(Ch, 128)
-    Cop = _round_up(Cout, 128)
+    if out_packed:
+        assert Cout <= PACK_MAX_C
+        Cop = 32
+    else:
+        Cop = _round_up(Cout, 128)
     Ho, Wo = H // stride, W // stride
-    Wo2 = _round_up(Wo + 2, 8)
+    Wo2 = 4 * packed_width(Wo) if out_packed else _round_up(Wo + 2, 8)
     if stride == 2:
         assert H % 2 == 0 and W % 2 == 0
 
@@ -467,19 +532,24 @@ def fused_mbconv(
         inv_sh=float(inv_sh), qmax_sh=float(qmax_sh),
         ratio_out=None if ratio_out is None else float(ratio_out),
         qmin_o=float(qmin_o), qmax_o=float(qmax_o), n_tiles=n_tiles,
-        stage=stage,
+        stage=stage, in_packed=in_packed, out_packed=out_packed,
     )
+
+    # Physical (HBM/slab) dims; packed forms fold 4 pixels into the lanes.
+    in_slab = (2, tile_b, SR, W2 // 4, 128) if in_packed \
+        else (2, tile_b, SR, W2, Cp)
+    out_phys = (Ho, Wo2 // 4, 128) if out_packed else (Ho, Wo2, Cop)
+    out_blk = (tile_b, tile_oh) + out_phys[1:]
 
     flops = 2 * B * Ho * Wo * Chp * ((Cp if has_expand else 0) + 9 + Cop)
     return pl.pallas_call(
         kernel,
         grid=(B // tile_b, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile_b, tile_oh, Wo2, Cop),
-                               lambda b, t: (b, t, 0, 0),
+        out_specs=pl.BlockSpec(out_blk, lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo2, Cop), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((2, tile_b, SR, W2, Cp), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((B,) + out_phys, jnp.int8),
+        scratch_shapes=[pltpu.VMEM(in_slab, jnp.int8),
                         pltpu.SemaphoreType.DMA((2,))],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size + B * Ho * Wo2 * Cop, transcendentals=0
@@ -495,7 +565,8 @@ def fused_mbconv(
 
 
 def _stem_kernel(xs_hbm, w_ref, m_ref, b_ref, out_ref, slab, sem, *,
-                 Hs, Ws, Ws2, Cout, Cop, tile_oh, inv_a, qmax_a, n_tiles):
+                 Hs, Ws, Ws2, Wso2, Cout, Cop, tile_oh, inv_a, qmax_a, n_tiles,
+                 out_packed=False):
     """Space-to-depth makes the 3x3/s2 conv a 2x2/s1 conv over 12 channels
     (zero-padded to 128 lanes; some taps structurally zero): 4 shifted K=128
     matmuls.  Halo is top/left one pixel; col halo is materialized zeros in
@@ -548,8 +619,13 @@ def _stem_kernel(xs_hbm, w_ref, m_ref, b_ref, out_ref, slab, sem, *,
             )
     y = jnp.maximum(acc * m_ref[:] + b_ref[:], 0.0)
     q = jnp.clip(jnp.round(y * inv_a), 0.0, qmax_a)
-    _store_with_halo(out_ref, q.reshape(1, th, Ws, Cop).astype(jnp.int8),
-                     1, th, Ws, Ws2, Cop)
+    if out_packed:
+        full = jnp.pad(q.reshape(1, th, Ws, Cop).astype(jnp.int8),
+                       ((0, 0), (0, 0), (1, Wso2 - Ws - 1), (0, 0)))
+        out_ref[:] = full.reshape(1, th, Wso2 // 4, 128)
+    else:
+        _store_with_halo(out_ref, q.reshape(1, th, Ws, Cop).astype(jnp.int8),
+                         1, th, Ws, Wso2, Cop)
 
 
 def fused_stem(
@@ -557,6 +633,7 @@ def fused_stem(
     stem: Dict[str, Any],
     tile_oh: int = 0,
     interpret: bool = False,
+    out_packed: bool = False,
 ) -> jax.Array:
     """Fused preprocess + 3x3/s2 stem conv + requant -> layout int8
     (B, H/2, Ws2, C128).
@@ -581,7 +658,13 @@ def fused_stem(
     # (2dy+sy-1, 2dx+sx-1).
     w = np.asarray(stem["w_int"], np.float32)  # (3, 3, 3, Cout)
     Cout = w.shape[-1]
-    Cop = _round_up(Cout, 128)
+    if out_packed:
+        assert Cout <= PACK_MAX_C
+        Cop = 32
+        Wso2 = 4 * packed_width(Ws)  # packed output layout width
+    else:
+        Cop = _round_up(Cout, 128)
+        Wso2 = Ws2
     w4 = np.zeros((4, 128, Cop), np.float32)
     for dy in range(2):
         for dx in range(2):
@@ -613,19 +696,21 @@ def fused_stem(
     n_tiles = Hs // tile_oh
 
     kernel = functools.partial(
-        _stem_kernel, Hs=Hs, Ws=Ws, Ws2=Ws2, Cout=Cout, Cop=Cop, tile_oh=tile_oh,
+        _stem_kernel, Hs=Hs, Ws=Ws, Ws2=Ws2, Wso2=Wso2, Cout=Cout, Cop=Cop,
+        tile_oh=tile_oh,
         inv_a=float(1.0 / stem["act_step"]), qmax_a=float(stem["act_qmax"]),
-        n_tiles=n_tiles,
+        n_tiles=n_tiles, out_packed=out_packed,
     )
+    out_phys = (Wso2 // 4, 128) if out_packed else (Wso2, Cop)
     vspec = lambda a: pl.BlockSpec(a.shape, lambda b, t, _n=a.ndim: (0,) * _n,
                                    memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), vspec(w4), vspec(m), vspec(bias)],
-        out_specs=pl.BlockSpec((1, tile_oh, Ws2, Cop), lambda b, t: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((1, tile_oh) + out_phys, lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Hs, Ws2, Cop), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((B, Hs) + out_phys, jnp.int8),
         scratch_shapes=[pltpu.VMEM((2, tile_oh + 1, Ws2, 128), jnp.int8),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),

@@ -25,10 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from spef_tpu.ops.pallas.fused_block import (
+    PACK_MAX_C,
     fused_mbconv,
     fused_stem,
     pad_act,
+    pad_act_packed,
     unpad_act,
+    unpad_act_packed,
 )
 
 __all__ = ["build_fused_forward"]
@@ -117,9 +120,14 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
         fusable_stem = hh % 2 == 0 and ww % 2 == 0 and (ww // 2) % 8 == 0
 
         # (h, w, c) = logical dims; `layout` tracks whether y is the padded
-        # inter-kernel layout tensor or a plain NHWC int8 tensor.
+        # inter-kernel layout tensor or a plain NHWC int8 tensor.  Narrow
+        # boundary tensors (c <= 32) travel width-PACKED — 4 pixels per
+        # 128-lane group — cutting their HBM bytes 4x (see fused_block.py);
+        # the invariant is `packed == (layout and c <= PACK_MAX_C)`.
         if fusable_stem:
-            y = fused_stem(images, graph["stem"], interpret=interpret)
+            stem_packed = int(graph["stem"]["w_int"].shape[-1]) <= PACK_MAX_C
+            y = fused_stem(images, graph["stem"], interpret=interpret,
+                           out_packed=stem_packed)
             layout = True
         else:
             from spef_tpu.quant.int8_carry import _conv_acc, _requant_int8
@@ -150,13 +158,17 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
             shared = (_grid(blk["shared_step"], blk["shared_qmax"])
                       if "shared_step" in blk else None)
             stride = blk["depthwise"]["stride"]
+            cout = int(blk["project"]["w_int"].shape[-1])
             if _block_fusable(blk, h, w):
+                in_packed = c <= PACK_MAX_C
+                out_packed = cout <= PACK_MAX_C
                 if not layout:
-                    y = pad_act(y)
+                    y = pad_act_packed(y) if in_packed else pad_act(y)
                     layout = True
                 y = fused_mbconv(y, blk, in_step=step, out_grid=out_grid,
                                  shared_grid=shared, logical_hw=(h, w),
-                                 interpret=interpret)
+                                 interpret=interpret,
+                                 in_packed=in_packed, out_packed=out_packed)
                 if blk["use_residual"]:
                     if out_grid is not None and abs(
                             blk["shared_step"] - out_grid["step"]) > 1e-12:
@@ -167,14 +179,15 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
                     step = out_grid["step"]
             else:
                 if layout:
-                    y = unpad_act(y, w, c)
+                    y = (unpad_act_packed(y, w, c) if c <= PACK_MAX_C
+                         else unpad_act(y, w, c))
                     layout = False
                 y, step = _xla_block(y, blk, step, out_grid)
             h, w = h // stride, w // stride
-            c = int(blk["project"]["w_int"].shape[-1])
+            c = cout
 
         if layout:
-            y = unpad_act(y, w, c)
+            y = unpad_act_packed(y, w, c) if c <= PACK_MAX_C else unpad_act(y, w, c)
 
         fs = graph["final_shared"]
         if abs(step - fs["step"]) > 1e-12:

@@ -173,3 +173,45 @@ def test_boundary_recipe_all_executors_agree():
     m = compare_tensors(ref_out[0], fused_out[0])
     assert m["mse"] < 5e-7 and m["zero_pattern"] == 1.0, m
     assert np.isfinite(np.asarray(fused_out[0])).all()
+
+
+def test_packed_layout_roundtrip_and_block_equivalence():
+    """Width-packed layout (4 px/lane-group for c<=32): pad/unpad roundtrip,
+    and fused_mbconv yields identical ints through packed vs plain layouts."""
+    from spef_tpu.ops.pallas.fused_block import (
+        fused_mbconv, pad_act, pad_act_packed, unpad_act, unpad_act_packed)
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(-50, 50, (2, 8, 24, 24)).astype(np.int8)
+    rt = unpad_act_packed(pad_act_packed(jnp.asarray(x)), 24, 24)
+    np.testing.assert_array_equal(np.asarray(rt), x)
+
+    def conv(shape):
+        return {"w_int": jnp.asarray(rng.randint(-8, 8, shape, np.int8)),
+                "mult_core": jnp.asarray(rng.rand(shape[-1]).astype(np.float32) * 1e-2),
+                "bias": jnp.asarray(rng.randn(shape[-1]).astype(np.float32) * 1e-2),
+                "stride": 1, "groups": 1}
+
+    for stride, residual in ((1, True), (2, False)):
+        cin = cout = 32
+        blk = {"use_residual": residual, "input_quant": True, "expand_ratio": 4,
+               "shared_step": 0.07, "shared_qmax": 127.0,
+               "depthwise": {**conv((3, 3, 1, 128)), "stride": stride, "groups": 128,
+                             "act_step": 0.03, "act_qmax": 255.0},
+               "project": conv((1, 1, 128, cout)),
+               "expand": {**conv((1, 1, cin, 128)), "act_step": 0.045,
+                          "act_qmax": 255.0}}
+        h = w = 16
+        x = rng.randint(-40, 40, (2, h, w, cin)).astype(np.int8)
+        grid = {"step": 0.06, "qmax": 127.0, "qmin": -128.0}
+        shared = {"step": blk["shared_step"], "qmax": blk["shared_qmax"]}
+        kw = dict(in_step=0.05, out_grid=grid, logical_hw=(h, w),
+                  shared_grid=shared if residual else None, interpret=True)
+        plain = unpad_act(
+            fused_mbconv(pad_act(jnp.asarray(x)), blk, **kw), w // stride, cout)
+        packed = unpad_act_packed(
+            fused_mbconv(pad_act_packed(jnp.asarray(x)), blk,
+                         in_packed=True, out_packed=True, **kw),
+            w // stride, cout)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(packed),
+                                      err_msg=f"stride={stride} res={residual}")
