@@ -34,7 +34,7 @@ except Exception:
     pass
 
 
-def build_paths(img, wanted):
+def build_paths(img, wanted, recipe="default"):
     from spef_tpu.codec.facade import SPEUtils
     from spef_tpu.data.camera import SPEED_CAMERA
     from spef_tpu.models.wrapper import import_model
@@ -53,7 +53,13 @@ def build_paths(img, wanted):
     )
     paths = {}
     if {"weight_only", "carry", "int8_xla", "fused"} & wanted:
-        qmodel = import_model(backbone_name="mobilenet_v2_q", head_name="ursonet_q", **kw)
+        bw = None
+        if recipe == "boundary":
+            from spef_tpu.quant.bitwidth import boundary_bit_width
+
+            bw = boundary_bit_width()
+        qmodel = import_model(backbone_name="mobilenet_v2_q", head_name="ursonet_q",
+                              bit_width=bw, **kw)
         graph = convert_qat_params(qmodel)
         if "weight_only" in wanted:
             paths["weight_only"] = build_weight_only_forward(graph)
@@ -116,10 +122,13 @@ def main():
     ap.add_argument("--trace", default=None, help="dir:path_name to jax.profiler-trace one path")
     ap.add_argument("--parity", action="store_true",
                     help="compare decoded outputs of all selected paths on one batch")
+    ap.add_argument("--recipe", default="default", choices=("default", "boundary"),
+                    help="quantization recipe for the QAT graph (boundary = "
+                         "int8 block edges, real-valued interiors)")
     args = ap.parse_args()
 
     wanted = set(args.paths.split(","))
-    spe_utils, paths = build_paths(args.img, wanted)
+    spe_utils, paths = build_paths(args.img, wanted, recipe=args.recipe)
     rng = np.random.RandomState(1001)
     frames0 = jnp.asarray(
         rng.randint(0, 256, (args.batch, args.img, args.img, 3), dtype=np.uint8)
