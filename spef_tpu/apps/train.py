@@ -75,6 +75,9 @@ def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 10
         shuffle=cfg.DATA.SHUFFLE, seed=seed, rot_augment=rot_augment,
         cache=cache_dataset,
     )
+    if cache_dataset == "device" and rot_augment is not None:
+        raise SystemExit("--device-data requires --device-augment "
+                         "(host warp cannot touch device-resident images)")
 
     bit_width = None
     if bit_width_path:
@@ -164,6 +167,12 @@ def main(argv=None):
     parser.add_argument("--cache-dataset", action="store_true",
                         help="decode each split once, serve epochs from RAM "
                              "(device-bound training on few-core hosts)")
+    parser.add_argument("--device-data", action="store_true",
+                        help="additionally park the decoded splits in device "
+                             "HBM and serve epochs as on-device gathers — no "
+                             "image bytes cross host<->device after upload "
+                             "(implies --cache-dataset; needs --device-augment "
+                             "if ROT_AUGMENT is on)")
     parser.add_argument("--checkpoint", action="store_true",
                         help="orbax-checkpoint every epoch into "
                              "<out>/<exp>/checkpoints and auto-resume from the "
@@ -195,7 +204,8 @@ def main(argv=None):
             cfg = load_config(paths["config"])
             run_experiment(name, cfg, paths["bit_width"], args.out, args.seed,
                            data_parallel=args.data_parallel,
-                           cache_dataset=args.cache_dataset,
+                           cache_dataset="device" if args.device_data
+                           else args.cache_dataset,
                            checkpoint=args.checkpoint, epochs=args.epochs,
                            device_augment=args.device_augment)
         except Exception:

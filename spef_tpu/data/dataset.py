@@ -202,9 +202,20 @@ class CachedBatchLoader(BatchLoader):
     (a 20k-image 240x384 split is ~5.5 GB).  Same batch contract as
     BatchLoader (padded last batch + mask); host-side rot augmentation is
     applied per epoch on the cached copies so randomness is preserved.
+
+    ``device_resident=True`` additionally uploads the decoded split to the
+    accelerator ONCE and serves every epoch as an on-device gather, so no
+    image bytes cross host<->device again.  On a tunneled/remote device a
+    64-image 240x384 batch costs ~2 s of transfer per step (measured r2:
+    ~10 min/epoch at 20k images) — device residency makes epochs pure
+    device time.  A 24k-frame dataset is ~6.4 GB of HBM alongside a ~5M-
+    parameter model: comfortably within one chip.  Incompatible with
+    host-side rot augmentation (use the trainer's on-device augment).
     """
 
     _cache: Optional[np.ndarray] = None
+    device_resident: bool = False
+    _dev_cache = None
 
     def _cache_path(self) -> Optional[str]:
         """Sidecar file for the decoded split: decoding 20k JPEGs costs
@@ -244,6 +255,23 @@ class CachedBatchLoader(BatchLoader):
             except OSError:
                 pass
 
+    def _device_batch(self, idx: np.ndarray, n_valid: int):
+        """Gather one batch on-device; zero padded rows (batch contract)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._dev_cache is None:
+            self._dev_cache = jax.device_put(np.asarray(self._cache))
+            self._dev_gather = jax.jit(
+                lambda data, i, m: jnp.take(data, i, axis=0)
+                * m[:, None, None, None].astype(jnp.uint8))
+        bs = self.batch_size
+        idx_p = np.concatenate([idx, np.zeros(bs - n_valid, idx.dtype)])
+        mask = np.concatenate(
+            [np.ones(n_valid, np.float32), np.zeros(bs - n_valid, np.float32)])
+        return self._dev_gather(self._dev_cache, jnp.asarray(idx_p),
+                                jnp.asarray(mask)), mask
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self._cache is None:
             self._materialize()
@@ -254,6 +282,24 @@ class CachedBatchLoader(BatchLoader):
         bs = self.batch_size
         oris = np.stack([r.ori for r in self.manifest.records])
         poss = np.stack([r.pos for r in self.manifest.records])
+        if self.device_resident:
+            assert self.rot_augment is None, (
+                "device-resident data cannot use host-side augmentation; "
+                "use the trainer's on-device augment")
+            for start in range(0, len(order), bs):
+                idx = order[start:start + bs]
+                n_valid = len(idx)
+                if n_valid < bs and self.drop_remainder:
+                    break
+                images, mask = self._device_batch(idx, n_valid)
+                idx_p = np.concatenate([idx, np.repeat(idx[-1:], bs - n_valid)])
+                yield {
+                    "images": images,
+                    "ori": oris[idx_p].astype(np.float32),
+                    "pos": poss[idx_p].astype(np.float32),
+                    "mask": mask,
+                }
+            return
         for start in range(0, len(order), bs):
             idx = order[start:start + bs]
             if len(idx) < bs and self.drop_remainder:
@@ -313,6 +359,8 @@ def _make_loaders(
             n_workers=n_workers,
             rot_augment=rot_augment if name == "train" else None,
         )
+        if cache == "device":
+            loaders[name].device_resident = True
     return loaders
 
 

@@ -231,3 +231,20 @@ def test_cached_loader_disk_persistence(dataset):
     second = [b["images"] for b in data2["valid"]]
     for a, b in zip(first, second):
         np.testing.assert_array_equal(a, b)
+
+
+def test_device_resident_loader_matches_host_cache(dataset):
+    """device_resident=True serves byte-identical batches via on-device
+    gathers (padded rows zeroed per the batch contract)."""
+    data_h, _ = load_dataset(dataset, batch_size=5, img_size=(48, 64), cache=True)
+    data_d, _ = load_dataset(dataset, batch_size=5, img_size=(48, 64), cache="device")
+    for split in ("train", "valid"):
+        assert data_d[split].device_resident
+        hb = list(data_h[split])
+        db = list(data_d[split])
+        assert len(hb) == len(db)
+        for a, b in zip(hb, db):
+            np.testing.assert_array_equal(a["images"], np.asarray(b["images"]))
+            np.testing.assert_array_equal(a["mask"], np.asarray(b["mask"]))
+            np.testing.assert_array_equal(a["ori"][a["mask"] > 0],
+                                          np.asarray(b["ori"])[a["mask"] > 0])
