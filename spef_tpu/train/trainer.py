@@ -236,6 +236,11 @@ class Trainer:
         for epoch in range(start_epoch, n_epochs + 1):
             for phase in split:
                 running = RunningAverage(keys=_METRIC_KEYS)
+                # Per-batch metrics stay ON DEVICE until the phase ends: a
+                # per-batch float() readback blocks the async dispatch
+                # pipeline every step, which on a tunneled device costs one
+                # RTT per batch (~2 min/epoch at 313 batches — measured r2).
+                pending = []
                 for batch in data[phase]:
                     n_valid = int(batch["mask"].sum())
                     if phase == "train":
@@ -254,7 +259,11 @@ class Trainer:
                             state, _put(batch["images"]), _put(batch["ori"]),
                             _put(batch["pos"]), _put(batch["mask"]),
                         )
-                    host = {k: float(v) for k, v in metrics.items() if not k.startswith("_")}
+                    pending.append(
+                        (n_valid,
+                         {k: v for k, v in metrics.items() if not k.startswith("_")}))
+                for n_valid, metrics in pending:
+                    host = {k: float(v) for k, v in metrics.items()}
                     if not np.isfinite(host["loss"]):
                         raise ValueError(f"Non-finite loss at epoch {epoch} ({phase})")
                     running.update(host, n_valid)
