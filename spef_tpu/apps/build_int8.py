@@ -101,10 +101,15 @@ def main(argv=None):
         # quant/bitwidth.boundary_bit_width).
         bit_width = boundary_bit_width()
 
-    # Quantized model (name aliases map *_pytorch -> *_q here).
+    # Quantized model: map any float model name to its _q counterpart
+    # (*_pytorch/*_brevitas aliases and plain names like "mobilenet_v2").
+    def _q_name(name):
+        name = name.replace("_pytorch", "").replace("_brevitas", "")
+        return name if name.endswith("_q") else name + "_q"
+
     qat_model = import_model(
-        backbone_name=cfg.MODEL.BACKBONE.NAME.replace("_pytorch", "_q").replace("_brevitas", "_q"),
-        head_name=cfg.MODEL.HEAD.NAME.replace("_pytorch", "_q").replace("_brevitas", "_q"),
+        backbone_name=_q_name(cfg.MODEL.BACKBONE.NAME),
+        head_name=_q_name(cfg.MODEL.HEAD.NAME),
         img_size=tuple(cfg.DATA.IMG_SIZE),
         params_path=args.qat_checkpoint,
         bit_width=bit_width,
