@@ -1,0 +1,41 @@
+#!/bin/bash
+# Post-training accuracy suite (VERDICT r1 item 3: "produce an accuracy
+# result"): evaluate the trained flagship, run the quantization ladder
+# (float / QAT / weight-only / int8) with ESA deltas, and the temporal
+# report over the 11 D-SPEED video sequences.
+#
+# Inputs: a finished `apps.train` experiment dir + the synthetic D-SPEED set.
+# One TPU job at a time — run only when the chip is free.
+#
+# Usage: bash experiments/run_accuracy_suite.sh \
+#            experiments/train_synth/exp_dspeed_synth /tmp/dspeed_syn
+set -euo pipefail
+EXP=${1:-experiments/train_synth/exp_dspeed_synth}
+DATA=${2:-/tmp/dspeed_syn}
+OUT=${3:-experiments/accuracy_suite}
+mkdir -p "$OUT"
+
+echo "== 1. Float evaluation of the trained model =="
+python -m spef_tpu.apps.eval --experiment "$EXP" --batch-size 64 \
+    2>&1 | tail -20 | tee "$OUT/eval_float.log"
+
+echo "== 2. Quantization ladder (QAT warm-start from the trained fp32) =="
+python -m spef_tpu.apps.build_int8 \
+    --config "$EXP/config.yaml" \
+    --fp32-checkpoint "$EXP/model/parameters.msgpack" \
+    --qat-epochs 3 --out "$OUT/ladder_default" \
+    2>&1 | tail -30 | tee "$OUT/ladder_default.log"
+
+echo "== 3. Boundary-recipe ladder (TPU-speed recipe accuracy cost) =="
+python -m spef_tpu.apps.build_int8 \
+    --config "$EXP/config.yaml" \
+    --fp32-checkpoint "$EXP/model/parameters.msgpack" \
+    --recipe boundary --qat-epochs 3 --out "$OUT/ladder_boundary" \
+    2>&1 | tail -30 | tee "$OUT/ladder_boundary.log"
+
+echo "== 4. Temporal report over the 11 video sequences =="
+python -m spef_tpu.apps.temporal_eval --experiment "$EXP" \
+    --data "$DATA/video" --plots --out "$OUT/temporal" \
+    2>&1 | tail -20 | tee "$OUT/temporal.log"
+
+echo "Suite complete: $OUT"
