@@ -68,20 +68,33 @@ SHAPES = [
 
 
 def main():
-    from spef_tpu.ops.pallas.fused_block import fused_mbconv, pad_act
+    from spef_tpu.ops.pallas.fused_block import (
+        PACK_MAX_C, fused_mbconv, pad_act, pad_act_packed)
     from spef_tpu.quant.autotune import _time_fn
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--tile-oh", type=int, default=0)
+    ap.add_argument("--no-pack", action="store_true",
+                    help="force the plain 128-lane layout (pre-packing A/B)")
+    ap.add_argument("--boundary", action="store_true",
+                    help="drop inner act grids (boundary-only recipe)")
     args = ap.parse_args()
 
     rng = np.random.RandomState(0)
     out = {}
     for name, h, w, cin, ch, cout, stride, expand in SHAPES:
         blk = make_block(rng, cin, ch, cout, stride, expand=expand)
-        x = pad_act(jnp.asarray(
+        if args.boundary:
+            for part in ("expand", "depthwise"):
+                if part in blk:
+                    blk[part].pop("act_step", None)
+                    blk[part].pop("act_qmax", None)
+        in_packed = (not args.no_pack) and cin <= PACK_MAX_C
+        out_packed = (not args.no_pack) and cout <= PACK_MAX_C
+        pad = pad_act_packed if in_packed else pad_act
+        x = pad(jnp.asarray(
             rng.randint(-8, 8, (args.batch, h, w, cin)).astype(np.int8)))
         grid = {"step": 0.06, "qmax": 127.0, "qmin": -128.0}
         row = {}
@@ -90,7 +103,8 @@ def main():
                 ms = _time_fn(
                     lambda xx, s=stage: fused_mbconv(
                         xx, blk, in_step=0.05, out_grid=grid,
-                        logical_hw=(h, w), tile_oh=args.tile_oh, stage=s),
+                        logical_hw=(h, w), tile_oh=args.tile_oh, stage=s,
+                        in_packed=in_packed, out_packed=out_packed),
                     x, iters=args.iters) * 1e3
                 row[stage] = round(ms, 3)
             except Exception as exc:
