@@ -113,3 +113,65 @@ class TestPallasKernelsOnChip:
         yf = jnp.maximum(acc * (stem["mult_core"] / 255.0) + stem["bias"], 0.0)
         b = _requant_int8(yf, stem["act_step"], stem["act_qmax"])
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@requires_tpu
+class TestPackedAndBoundaryOnChip:
+    """On-chip (Mosaic, non-interpret) validation of the r2 kernel features:
+    width-packed layouts and the boundary-only recipe's float interiors."""
+
+    @pytest.mark.parametrize("stride,residual", [(1, True), (2, False)])
+    def test_packed_block_matches_plain(self, stride, residual):
+        from spef_tpu.ops.pallas.fused_block import (
+            fused_mbconv, pad_act, pad_act_packed, unpad_act, unpad_act_packed)
+
+        rng = np.random.RandomState(31 + stride)
+        entry = TestPallasKernelsOnChip()
+        blk = entry._block_entry(rng, 32, 64, 32, stride, residual)
+        x = jnp.asarray(rng.randint(-64, 64, (2, 16, 16, 32), np.int8))
+        in_step = blk["shared_step"] if residual else 0.05
+        out_grid = {"step": 0.06, "qmax": 127.0, "qmin": -128.0}
+        shared = {"step": blk["shared_step"], "qmax": blk["shared_qmax"]}
+        kw = dict(in_step=in_step, out_grid=out_grid, shared_grid=shared,
+                  logical_hw=(16, 16))
+        plain = unpad_act(fused_mbconv(pad_act(x), blk, **kw), 16 // stride, 32)
+        packed = unpad_act_packed(
+            fused_mbconv(pad_act_packed(x), blk, in_packed=True,
+                         out_packed=True, **kw), 16 // stride, 32)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(packed))
+
+    def test_boundary_block_matches_xla(self):
+        from spef_tpu.ops.pallas.fused_block import (
+            fused_mbconv, pad_act_packed, unpad_act_packed)
+        from spef_tpu.quant.int8_fused import _xla_block
+
+        rng = np.random.RandomState(41)
+        entry = TestPallasKernelsOnChip()
+        blk = entry._block_entry(rng, 32, 64, 32, 1, False)
+        for part in ("expand", "depthwise"):
+            blk[part].pop("act_step"), blk[part].pop("act_qmax")
+        x = jnp.asarray(rng.randint(-64, 64, (2, 16, 16, 32), np.int8))
+        out_grid = {"step": 0.06, "qmax": 127.0, "qmin": -128.0}
+        a = unpad_act_packed(
+            fused_mbconv(pad_act_packed(x), blk, in_step=0.05,
+                         out_grid=out_grid, logical_hw=(16, 16),
+                         in_packed=True, out_packed=True), 16, 32)
+        b, _ = _xla_block(x, blk, 0.05, out_grid)
+        d = np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32))
+        assert d.max() <= 1, d.max()  # f32-vs-bf16 interior: requant ties only
+
+    def test_packed_stem_matches_plain(self):
+        from spef_tpu.ops.pallas.fused_block import (
+            fused_stem, unpad_act, unpad_act_packed)
+
+        rng = np.random.RandomState(7)
+        stem = {
+            "w_int": jnp.asarray(rng.randint(-8, 8, (3, 3, 3, 32), np.int8)),
+            "mult_core": jnp.asarray(rng.rand(32).astype(np.float32) * 1e-2),
+            "bias": jnp.asarray(rng.randn(32).astype(np.float32) * 1e-2),
+            "stride": 2, "groups": 1, "act_step": 0.05, "act_qmax": 255.0,
+        }
+        images = jnp.asarray(rng.randint(0, 256, (2, 32, 48, 3), dtype=np.uint8))
+        plain = unpad_act(fused_stem(images, stem), 24, 32)
+        packed = unpad_act_packed(fused_stem(images, stem, out_packed=True), 24, 32)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(packed))
