@@ -168,16 +168,28 @@ def tune_graph(
             out_grid = _consumer_grid(graph, i)
             shared = (_grid(blk["shared_step"], blk["shared_qmax"])
                       if "shared_step" in blk else None)
-            x = pad_act(jnp.asarray(
-                rng.randint(-8, 8, (batch, cur_h, cur_w, cin)).astype(np.int8)))
             from spef_tpu.ops.pallas.fused_block import (
-                _VMEM_LIMIT, act_layout, mbconv_vmem_bytes,
+                _VMEM_LIMIT, PACK_MAX_C, act_layout, mbconv_vmem_bytes,
+                packed_width, pad_act_packed,
             )
 
-            w2, cp = act_layout(cur_h, cur_w, cin)
+            # Mirror the executor's layout policy (packed iff c <= 32) so
+            # tuned tiles match what build_fused_forward will actually run.
+            in_packed = cin <= PACK_MAX_C
+            out_packed = cout <= PACK_MAX_C
+            pad = pad_act_packed if in_packed else pad_act
+            x = pad(jnp.asarray(
+                rng.randint(-8, 8, (batch, cur_h, cur_w, cin)).astype(np.int8)))
+            if in_packed:
+                w2, cp = 4 * packed_width(cur_w), 32
+            else:
+                w2, cp = act_layout(cur_h, cur_w, cin)
             chp = cp if "expand" not in blk else -(-ch // 128) * 128
             wo = cur_w // stride
-            wo2, cop = act_layout(ho, wo, cout)
+            if out_packed:
+                wo2, cop = 4 * packed_width(wo), 32
+            else:
+                wo2, cop = act_layout(ho, wo, cout)
             sweep = {}
             for tile in _candidates(ho):
                 sr = tile + 2 if stride == 1 else 2 * tile + 2
@@ -194,7 +206,8 @@ def tune_graph(
                             lambda xx, t=tile, n=nb: fused_mbconv(
                                 xx, blk, in_step=step, out_grid=out_grid,
                                 shared_grid=shared, logical_hw=(cur_h, cur_w),
-                                tile_oh=t, tile_b=n),
+                                tile_oh=t, tile_b=n,
+                                in_packed=in_packed, out_packed=out_packed),
                             x, iters) * 1e3
                     except Exception as exc:  # compile-side OOM etc.: skip
                         if verbose:
