@@ -19,13 +19,14 @@ block only; the default 256x256 deployment shape runs fully fused.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from spef_tpu.ops.pallas.fused_block import (
-    PACK_MAX_C,
+    PACK_MAX_C as _PACK_MAX_C,
     fused_mbconv,
     fused_stem,
     pad_act,
@@ -124,6 +125,9 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
         # boundary tensors (c <= 32) travel width-PACKED — 4 pixels per
         # 128-lane group — cutting their HBM bytes 4x (see fused_block.py);
         # the invariant is `packed == (layout and c <= PACK_MAX_C)`.
+        # SPEF_NO_PACK=1 disables packing (layout A/B + Mosaic regression
+        # escape hatch).
+        PACK_MAX_C = 0 if os.environ.get("SPEF_NO_PACK") else _PACK_MAX_C
         if fusable_stem:
             stem_packed = int(graph["stem"]["w_int"].shape[-1]) <= PACK_MAX_C
             y = fused_stem(images, graph["stem"], interpret=interpret,
