@@ -16,7 +16,7 @@ OUT=${3:-experiments/accuracy_suite}
 mkdir -p "$OUT"
 
 echo "== 1. Float evaluation of the trained model =="
-python -m spef_tpu.apps.eval --experiment "$EXP" --batch-size 64 \
+python -m spef_tpu.apps.eval --experiment "$EXP" --batch-size 64 --cache-dataset \
     2>&1 | tail -20 | tee "$OUT/eval_float.log"
 
 echo "== 2. Quantization ladder (QAT warm-start from the trained fp32) =="

@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--data", default=None, help="dataset path override")
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--seed", type=int, default=1001)
+    parser.add_argument("--cache-dataset", action="store_true",
+                        help="serve from the decoded-split disk cache "
+                             "(written by train --cache-dataset)")
     args = parser.parse_args(argv)
 
     set_seed(args.seed)
@@ -46,7 +49,8 @@ def main(argv=None):
         n_pos_bins_per_dim=cfg.MODEL.HEAD.N_POS_BINS_PER_DIM,
         pos_smooth_factor=cfg.DATA.POS_SMOOTH_FACTOR,
     )
-    data, split = load_dataset(data_path, args.batch_size, tuple(cfg.DATA.IMG_SIZE))
+    data, split = load_dataset(data_path, args.batch_size, tuple(cfg.DATA.IMG_SIZE),
+                               cache=args.cache_dataset)
 
     bw_path = os.path.join(args.experiment, "model", "bit_width.json")
     bit_width = None
