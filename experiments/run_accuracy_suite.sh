@@ -23,14 +23,14 @@ echo "== 2. Quantization ladder (QAT warm-start from the trained fp32) =="
 python -m spef_tpu.apps.build_int8 \
     --config "$EXP/config.yaml" \
     --fp32-checkpoint "$EXP/model/parameters.msgpack" \
-    --qat-epochs 3 --out "$OUT/ladder_default" \
+    --qat-epochs 3 --device-data --out "$OUT/ladder_default" \
     2>&1 | tail -30 | tee "$OUT/ladder_default.log"
 
 echo "== 3. Boundary-recipe ladder (TPU-speed recipe accuracy cost) =="
 python -m spef_tpu.apps.build_int8 \
     --config "$EXP/config.yaml" \
     --fp32-checkpoint "$EXP/model/parameters.msgpack" \
-    --recipe boundary --qat-epochs 3 --out "$OUT/ladder_boundary" \
+    --recipe boundary --qat-epochs 3 --device-data --out "$OUT/ladder_boundary" \
     2>&1 | tail -30 | tee "$OUT/ladder_boundary.log"
 
 echo "== 4. Temporal report over the 11 video sequences =="

@@ -60,6 +60,10 @@ def main(argv=None):
                         help="bit-width family when no --bit-width file is "
                              "given: 'boundary' = int8 block boundaries with "
                              "real-valued interiors (TPU-speed recipe)")
+    parser.add_argument("--cache-dataset", action="store_true",
+                        help="serve QAT epochs from the decoded-split disk cache")
+    parser.add_argument("--device-data", action="store_true",
+                        help="park decoded splits in device HBM (see apps/train.py)")
     parser.add_argument("--calibrate", default=None,
                         choices=("absmax", "percentile", "mse", "entropy"),
                         help="PTQ activation calibration from data (no QAT needed) — "
@@ -90,7 +94,9 @@ def main(argv=None):
         pos_smooth_factor=cfg.DATA.POS_SMOOTH_FACTOR,
     )
     data, split = load_dataset(cfg.DATA.PATH, cfg.DATA.BATCH_SIZE, tuple(cfg.DATA.IMG_SIZE),
-                               shuffle=cfg.DATA.SHUFFLE, seed=args.seed)
+                               shuffle=cfg.DATA.SHUFFLE, seed=args.seed,
+                               cache="device" if args.device_data
+                               else args.cache_dataset)
 
     bit_width = load_bit_width(args.bit_width) if args.bit_width else None
     if bit_width is None and args.recipe == "boundary":
