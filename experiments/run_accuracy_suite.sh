@@ -15,10 +15,22 @@ DATA=${2:-/tmp/dspeed_syn}
 OUT=${3:-experiments/accuracy_suite}
 mkdir -p "$OUT"
 
+# The tunneled TPU backend wedges if a new client initializes while the
+# previous one's teardown is settling — wait + probe between jobs.
+settle() {
+  sleep 150
+  for i in 1 2 3; do
+    timeout 240 python -c "import jax, jax.numpy as jnp; print(jax.devices(), float(jnp.ones(4).sum()))" && return 0
+    sleep 120
+  done
+  echo "TPU probe failed" >&2; return 1
+}
+
 echo "== 1. Float evaluation of the trained model =="
 python -m spef_tpu.apps.eval --experiment "$EXP" --batch-size 64 --cache-dataset \
     2>&1 | tail -20 | tee "$OUT/eval_float.log"
 
+settle
 echo "== 2. Quantization ladder (QAT warm-start from the trained fp32) =="
 python -m spef_tpu.apps.build_int8 \
     --config "$EXP/config.yaml" \
@@ -26,6 +38,7 @@ python -m spef_tpu.apps.build_int8 \
     --qat-epochs 3 --device-data --out "$OUT/ladder_default" \
     2>&1 | tail -30 | tee "$OUT/ladder_default.log"
 
+settle
 echo "== 3. Boundary-recipe ladder (TPU-speed recipe accuracy cost) =="
 python -m spef_tpu.apps.build_int8 \
     --config "$EXP/config.yaml" \
@@ -33,6 +46,7 @@ python -m spef_tpu.apps.build_int8 \
     --recipe boundary --qat-epochs 3 --device-data --out "$OUT/ladder_boundary" \
     2>&1 | tail -30 | tee "$OUT/ladder_boundary.log"
 
+settle
 echo "== 4. Temporal report over the 11 video sequences =="
 python -m spef_tpu.apps.temporal_eval --experiment "$EXP" \
     --data "$DATA/video" --plots --out "$OUT/temporal" \
