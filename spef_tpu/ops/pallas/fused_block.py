@@ -599,23 +599,22 @@ def _stem_kernel(xs_hbm, w_ref, m_ref, b_ref, out_ref, slab, sem, *,
         issue(b + 1, jnp.int32(0), nxt, "start")
 
     issue(b, t, slot, "wait")
-    # Unpack 8 px x 16 ch lane groups -> (rows, Ws2, 16) columns.
-    sl = slab.at[slot][:].reshape(th + 1, Ws2, 16)
+    sl = slab.at[slot][:]
 
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (th, Ws), 0)
     acc = jnp.zeros((th * Ws, Cop), jnp.float32)
     for dy in range(2):
         for dx in range(2):
-            tap = jax.lax.slice(sl, (dy, dx, 0), (dy + th, dx + Ws, 16))
+            tap = jax.lax.slice(sl, (dy, dx, 0), (dy + th, dx + Ws, 128))
             valid = ((r_ids + start + dy >= 0) & (r_ids + start + dy < Hs))
             # The image travels as int8 BITS (uint8 DMAs mis-lower for some
             # row counts: Mosaic widens the HBM side to i16); recover the
             # uint8 value exactly via widen + mask.
             tf = ((tap.astype(jnp.int32) & 255).astype(jnp.float32)
                   * valid.astype(jnp.float32)[:, :, None])
-            a = tf.reshape(th * Ws, 16).astype(jnp.bfloat16)
+            a = tf.reshape(th * Ws, 128).astype(jnp.bfloat16)
             acc = acc + jnp.dot(
-                a, w_ref[pl.ds((2 * dy + dx) * 16, 16), :].astype(jnp.bfloat16),
+                a, w_ref[pl.ds((2 * dy + dx) * 128, 128), :].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
     y = jnp.maximum(acc * m_ref[:] + b_ref[:], 0.0)
@@ -647,17 +646,16 @@ def fused_stem(
     B, H, W, _ = images.shape
     assert H % 2 == 0 and W % 2 == 0
     Hs, Ws = H // 2, W // 2
-    # Input travels width-packed: 8 pixels x 16 channels (12 s2d channels +
-    # 4 zeros) per 128-lane group.  The old 12->128 lane pad inflated the
-    # stem's input traffic 10.6x — the single largest HBM stream in the
-    # pipeline (uint8 image bytes x padding).
-    Ws2 = _round_up(Ws + 2, 64)  # unpacked column count; W8 = Ws2 // 8
-    W8 = Ws2 // 8
+    # NOTE an 8px x 16ch width-packed input (5.7x less stem traffic) was
+    # prototyped but the unpack needs a lane->sublane SPLIT reshape, which
+    # this Mosaic version cannot lower (the merge direction lowers fine).
+    # The phase-major formulation that avoids the relayout entirely is the
+    # planned fix; until then the stem input stays lane-padded 12->128.
+    Ws2 = _round_up(Ws + 2, 8)
     xs = images.reshape(B, Hs, 2, Ws, 2, 3).transpose(0, 1, 3, 2, 4, 5).reshape(
         B, Hs, Ws, 12
     )
-    xs = jnp.pad(xs, ((0, 0), (0, 0), (1, Ws2 - Ws - 1), (0, 4)))
-    xs = xs.reshape(B, Hs, W8, 128)
+    xs = jnp.pad(xs, ((0, 0), (0, 0), (1, Ws2 - Ws - 1), (0, 116)))
     xs = jax.lax.bitcast_convert_type(xs, jnp.int8)  # uint8 bits, DMA-safe
 
     # 3x3 kernel -> 4 taps of the 2x2 s2d conv; see the tap derivation in
@@ -672,7 +670,7 @@ def fused_stem(
     else:
         Cop = _round_up(Cout, 128)
         Wso2 = _round_up(Ws + 2, 8)
-    w4 = np.zeros((4, 16, Cop), np.float32)
+    w4 = np.zeros((4, 128, Cop), np.float32)
     for dy in range(2):
         for dx in range(2):
             for sy in range(2):
@@ -682,13 +680,13 @@ def fused_stem(
                     if 0 <= oy < 3 and 0 <= ox < 3:
                         w4[2 * dy + dx, sy * 6 + sx * 3: sy * 6 + sx * 3 + 3, :Cout] = \
                             w[oy, ox, :, :]
-    w4 = jnp.asarray(w4.reshape(4 * 16, Cop))
+    w4 = jnp.asarray(w4.reshape(4 * 128, Cop))
 
     m = _pad1(np.asarray(stem["mult_core"]) / 255.0, Cop)
     bias = _pad1(stem["bias"], Cop)
 
     def vmem_of(t):
-        slab = 2 * (t + 1) * W8 * 128  # double-buffered, width-packed
+        slab = 2 * (t + 1) * Ws2 * 128  # double-buffered
         taps = 3 * t * Ws2 * 128 * 4 + t * Ws * 128 * 2
         acc = t * Ws * Cop * 4 * 2
         return slab + taps + acc + 4 * 128 * Cop * 4 + 2 * t * Ws2 * Cop
@@ -718,7 +716,7 @@ def fused_stem(
         out_specs=pl.BlockSpec((1, tile_oh) + out_phys, lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hs) + out_phys, jnp.int8),
-        scratch_shapes=[pltpu.VMEM((2, tile_oh + 1, W8, 128), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((2, tile_oh + 1, Ws2, 128), jnp.int8),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,

@@ -173,10 +173,13 @@ def tune_graph(
                 packed_width, pad_act_packed,
             )
 
-            # Mirror the executor's layout policy (packed iff c <= 32) so
-            # tuned tiles match what build_fused_forward will actually run.
-            in_packed = cin <= PACK_MAX_C
-            out_packed = cout <= PACK_MAX_C
+            # Mirror the executor's layout policy so tuned tiles match what
+            # build_fused_forward will actually run (packing is opt-in, see
+            # int8_fused.py).
+            import os as _os
+            _pmax = PACK_MAX_C if _os.environ.get("SPEF_PACK") else 0
+            in_packed = cin <= _pmax
+            out_packed = cout <= _pmax
             pad = pad_act_packed if in_packed else pad_act
             x = pad(jnp.asarray(
                 rng.randint(-8, 8, (batch, cur_h, cur_w, cin)).astype(np.int8)))

@@ -125,9 +125,12 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
         # boundary tensors (c <= 32) travel width-PACKED — 4 pixels per
         # 128-lane group — cutting their HBM bytes 4x (see fused_block.py);
         # the invariant is `packed == (layout and c <= PACK_MAX_C)`.
-        # SPEF_NO_PACK=1 disables packing (layout A/B + Mosaic regression
-        # escape hatch).
-        PACK_MAX_C = 0 if os.environ.get("SPEF_NO_PACK") else _PACK_MAX_C
+        # OPT-IN (SPEF_PACK=1): the in-kernel unpack needs a lane->sublane
+        # SPLIT reshape that the current Mosaic cannot lower (the merge
+        # direction lowers; verified on-chip r2).  The packed path is
+        # interpret-tested and kept for the phase-major kernel rework that
+        # will avoid the relayout; production defaults to plain layouts.
+        PACK_MAX_C = _PACK_MAX_C if os.environ.get("SPEF_PACK") else 0
         if fusable_stem:
             stem_packed = int(graph["stem"]["w_int"].shape[-1]) <= PACK_MAX_C
             y = fused_stem(images, graph["stem"], interpret=interpret,

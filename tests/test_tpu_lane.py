@@ -11,6 +11,8 @@ kept small so the whole lane compiles in ~a minute (with the persistent
 compile cache, seconds).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -116,9 +118,14 @@ class TestPallasKernelsOnChip:
 
 
 @requires_tpu
-class TestPackedAndBoundaryOnChip:
-    """On-chip (Mosaic, non-interpret) validation of the r2 kernel features:
-    width-packed layouts and the boundary-only recipe's float interiors."""
+@pytest.mark.skipif(not os.environ.get("SPEF_PACK"),
+                    reason="packed layouts are opt-in: their in-kernel unpack "
+                           "needs a lane->sublane split reshape the current "
+                           "Mosaic cannot lower (verified r2); pending the "
+                           "phase-major kernel rework")
+class TestPackedOnChip:
+    """On-chip (Mosaic, non-interpret) validation of the width-packed
+    layouts (opt-in via SPEF_PACK, see quant/int8_fused.py)."""
 
     @pytest.mark.parametrize("stride,residual", [(1, True), (2, False)])
     def test_packed_block_matches_plain(self, stride, residual):
@@ -140,26 +147,6 @@ class TestPackedAndBoundaryOnChip:
                          out_packed=True, **kw), 16 // stride, 32)
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(packed))
 
-    def test_boundary_block_matches_xla(self):
-        from spef_tpu.ops.pallas.fused_block import (
-            fused_mbconv, pad_act_packed, unpad_act_packed)
-        from spef_tpu.quant.int8_fused import _xla_block
-
-        rng = np.random.RandomState(41)
-        entry = TestPallasKernelsOnChip()
-        blk = entry._block_entry(rng, 32, 64, 32, 1, False)
-        for part in ("expand", "depthwise"):
-            blk[part].pop("act_step"), blk[part].pop("act_qmax")
-        x = jnp.asarray(rng.randint(-64, 64, (2, 16, 16, 32), np.int8))
-        out_grid = {"step": 0.06, "qmax": 127.0, "qmin": -128.0}
-        a = unpad_act_packed(
-            fused_mbconv(pad_act_packed(x), blk, in_step=0.05,
-                         out_grid=out_grid, logical_hw=(16, 16),
-                         in_packed=True, out_packed=True), 16, 32)
-        b, _ = _xla_block(x, blk, 0.05, out_grid)
-        d = np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32))
-        assert d.max() <= 1, d.max()  # f32-vs-bf16 interior: requant ties only
-
     def test_packed_stem_matches_plain(self):
         from spef_tpu.ops.pallas.fused_block import (
             fused_stem, unpad_act, unpad_act_packed)
@@ -175,3 +162,25 @@ class TestPackedAndBoundaryOnChip:
         plain = unpad_act(fused_stem(images, stem), 24, 32)
         packed = unpad_act_packed(fused_stem(images, stem, out_packed=True), 24, 32)
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(packed))
+
+
+@requires_tpu
+def test_boundary_block_matches_xla_on_chip():
+    """Boundary-only recipe (no inner act grids) through the fused kernel on
+    the real chip, plain layout."""
+    from spef_tpu.ops.pallas.fused_block import fused_mbconv, pad_act, unpad_act
+    from spef_tpu.quant.int8_fused import _xla_block
+
+    rng = np.random.RandomState(41)
+    entry = TestPallasKernelsOnChip()
+    blk = entry._block_entry(rng, 32, 64, 32, 1, False)
+    for part in ("expand", "depthwise"):
+        blk[part].pop("act_step"), blk[part].pop("act_qmax")
+    x = jnp.asarray(rng.randint(-64, 64, (2, 16, 16, 32), np.int8))
+    out_grid = {"step": 0.06, "qmax": 127.0, "qmin": -128.0}
+    a = unpad_act(
+        fused_mbconv(pad_act(x), blk, in_step=0.05, out_grid=out_grid,
+                     logical_hw=(16, 16)), 16, 32)
+    b, _ = _xla_block(x, blk, 0.05, out_grid)
+    d = np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32))
+    assert d.max() <= 1, d.max()  # f32-vs-bf16 interior: requant ties only
