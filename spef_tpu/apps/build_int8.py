@@ -56,10 +56,18 @@ def main(argv=None):
     parser.add_argument("--qat-checkpoint", default=None)
     parser.add_argument("--qat-epochs", type=int, default=0)
     parser.add_argument("--recipe", default="default",
-                        choices=("default", "boundary"),
+                        choices=("default", "boundary", "w8a8"),
                         help="bit-width family when no --bit-width file is "
                              "given: 'boundary' = int8 block boundaries with "
-                             "real-valued interiors (TPU-speed recipe)")
+                             "real-valued interiors (TPU-speed recipe); "
+                             "'w8a8' = uniform 8-bit weights+activations "
+                             "(the TVM/TensorRT-class deployment recipe, "
+                             "reference README.md:143-144)")
+    parser.add_argument("--qat-lr", type=float, default=None,
+                        help="learning rate for the QAT fine-tune epochs "
+                             "(default: cfg.TRAIN.LR / 10 — warm-started "
+                             "fine-tuning at the full training LR walks away "
+                             "from the float optimum, measured r2)")
     parser.add_argument("--cache-dataset", action="store_true",
                         help="serve QAT epochs from the decoded-split disk cache")
     parser.add_argument("--device-data", action="store_true",
@@ -106,6 +114,11 @@ def main(argv=None):
         # (the fused kernels then skip every inner requant; see
         # quant/bitwidth.boundary_bit_width).
         bit_width = boundary_bit_width()
+    elif bit_width is None and args.recipe == "w8a8":
+        # Uniform int8: every weight and activation on an 8-bit grid — the
+        # recipe the reference ships to TVM/TensorRT (ESA 0.2088-0.2208 at
+        # int8, `/root/reference/README.md:143-144`).
+        bit_width = default_bit_width(w=8, a=8, shared=8)
 
     # Quantized model: map any float model name to its _q counterpart
     # (*_pytorch/*_brevitas aliases and plain names like "mobilenet_v2").
@@ -165,9 +178,16 @@ def main(argv=None):
 
     ladder = {}
     if args.qat_epochs > 0:
-        tx, scheduler = import_optimizer(cfg.TRAIN.LR, cfg.TRAIN.OPTIM, cfg.TRAIN.MOMENTUM,
-                                         cfg.TRAIN.DECAY, cfg.TRAIN.SCHEDULER,
-                                         tuple(cfg.TRAIN.MILESTONES), cfg.TRAIN.GAMMA)
+        # Fine-tune LR recipe: a warm-started QAT model sits next to the
+        # float optimum; the r2 ladders ran at the full training LR and the
+        # best epoch was always the first (the fine-tune walked AWAY).
+        # Default to LR/10 with decay milestones at 60%/85% of the epochs.
+        qat_lr = args.qat_lr if args.qat_lr is not None else cfg.TRAIN.LR / 10.0
+        milestones = (max(1, int(args.qat_epochs * 0.6)),
+                      max(2, int(args.qat_epochs * 0.85)))
+        tx, scheduler = import_optimizer(qat_lr, cfg.TRAIN.OPTIM, cfg.TRAIN.MOMENTUM,
+                                         cfg.TRAIN.DECAY, "MultiStepLR",
+                                         milestones, cfg.TRAIN.GAMMA)
         state = create_train_state(qat_model, tx)
         trainer = Trainer(spe_utils, spe_loss, camera,
                           rot_augment=cfg.DATA.ROT_AUGMENT,

@@ -221,13 +221,23 @@ class CachedBatchLoader(BatchLoader):
         """Sidecar file for the decoded split: decoding 20k JPEGs costs
         ~20 min on a single-core host, so the decoded uint8 tensor is
         persisted next to the images and memmapped on later runs (restarts
-        under checkpoint/resume then start in seconds)."""
+        under checkpoint/resume then start in seconds).
+
+        The filename carries a split identity — a short hash over the
+        ordered image basenames — so two splits sharing one images dir
+        (the SPEED-style flat layout) with equal record counts can never
+        load each other's tensor (ADVICE r2)."""
         if not self.manifest.records:
             return None
+        import hashlib
+
         img_dir = os.path.dirname(self.manifest.records[0].image_path)
         h, w = self.img_size
+        ident = hashlib.sha1("\n".join(
+            os.path.basename(r.image_path) for r in self.manifest.records
+        ).encode()).hexdigest()[:10]
         return os.path.join(
-            img_dir, f".decoded_{h}x{w}_{len(self.manifest)}.npy")
+            img_dir, f".decoded_{h}x{w}_{len(self.manifest)}_{ident}.npy")
 
     def _materialize(self) -> None:
         path = self._cache_path()
@@ -235,8 +245,24 @@ class CachedBatchLoader(BatchLoader):
             arr = np.load(path, mmap_mode="r")
             expect = (len(self.manifest),) + tuple(self.img_size) + (3,)
             if arr.shape == expect and arr.dtype == np.uint8:
-                self._cache = arr
-                return
+                # Guard against images regenerated in place (same names,
+                # same count): re-decode one sample and compare — through
+                # the SAME decode path the cache was built with (the native
+                # loader's resize is not bit-identical to PIL's).
+                first = self.manifest.records[0].image_path
+                native_load = _native_loader()
+                probe = None
+                if native_load is not None:
+                    try:
+                        probe = np.asarray(native_load(
+                            [first], self.img_size[0], self.img_size[1], 1)[0])
+                    except IOError:
+                        pass
+                if probe is None:
+                    probe = _load_image(first, self.img_size)
+                if np.array_equal(np.asarray(arr[0]), probe):
+                    self._cache = arr
+                    return
         base = BatchLoader(self.manifest, self.batch_size, self.img_size,
                            shuffle=False, n_workers=self.n_workers,
                            drop_remainder=False)

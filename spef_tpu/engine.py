@@ -96,7 +96,17 @@ class SPEJax:
         self.model = model
         self.spe_utils = spe_utils
         self.mesh = mesh
-        self._predict = jax.jit(build_predict_fn(model, spe_utils, decode, forward_fn))
+        self._decode = decode
+        self._forward_fn = forward_fn
+        self._donate = donate
+        self._predict = self._compile()
+
+    def _compile(self):
+        donate = (0,) if self._donate else ()
+        return jax.jit(
+            build_predict_fn(self.model, self.spe_utils, self._decode, self._forward_fn),
+            donate_argnums=donate,
+        )
 
     def predict(self, images) -> Tuple[Dict[str, jax.Array], float]:
         """Run inference; returns (pose dict, wall latency in ms).
@@ -117,7 +127,17 @@ class SPEJax:
         latency_ms = (time.perf_counter() - start) * 1000.0
         return pose, latency_ms
 
-    def update_model(self, model: SPEModel) -> None:
-        """Swap model weights (reference `spe_torch.py:78-97`)."""
+    def update_model(self, model: SPEModel, forward_fn: Optional[Callable] = None) -> None:
+        """Swap model weights (reference `spe_torch.py:78-97`).
+
+        Preserves the constructor's ``decode``/``donate``/``mesh`` options
+        and, unless a replacement ``forward_fn`` is given, the original
+        forward path — so swapping weights on an int8 engine does NOT
+        silently revert it to the float path.  Engines whose forward closes
+        over converted weights (the int8/weight-only paths) must pass the
+        rebuilt ``forward_fn`` for the swap to take effect.
+        """
         self.model = model
-        self._predict = jax.jit(build_predict_fn(model, self.spe_utils))
+        if forward_fn is not None:
+            self._forward_fn = forward_fn
+        self._predict = self._compile()

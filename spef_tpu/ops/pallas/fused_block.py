@@ -97,6 +97,36 @@ def act_layout(h: int, w: int, c: int):
     return _round_up(w + 2, 8), _round_up(c, 128)
 
 
+def stem_vmem_bytes(t: int, Ws: int, Ws2: int, Cop: int) -> int:
+    """Mirror of ``fused_stem``'s in-kernel VMEM estimator (keep in sync)."""
+    slab = 2 * (t + 1) * Ws2 * 128
+    taps = 3 * t * Ws2 * 128 * 4 + t * Ws * 128 * 2
+    acc = t * Ws * Cop * 4 * 2
+    return slab + taps + acc + 4 * 128 * Cop * 4 + 2 * t * Ws2 * Cop
+
+
+def stem_default_tile(Hs: int, Ws: int, Ws2: int, Cop: int) -> int:
+    """The untuned tile ``fused_stem`` picks when no tuning entry exists."""
+    return _fit_tile_oh(Hs, 32, lambda t: stem_vmem_bytes(t, Ws, Ws2, Cop))
+
+
+def mbconv_default_tiles(B: int, Ho: int, stride: int, W2: int, Wo: int, Wo2: int,
+                         Cp: int, Chp: int, Cop: int, has_expand: bool):
+    """The untuned (tile_oh, tile_b) ``fused_mbconv`` picks when no tuning
+    entry exists — `_fit_tile_oh` + the auto batch-tiling doubler below.
+    Used by quant/autotune so the reported speedup baseline is the
+    configuration the executor actually runs (ADVICE r2)."""
+    vmem_of = lambda t, nb=1: nb * mbconv_vmem_bytes(
+        t, stride, W2, Wo, Wo2, Cp, Chp, Cop, has_expand)
+    t = _fit_tile_oh(Ho, 32, vmem_of)
+    sr = t + 2 if stride == 1 else 2 * t + 2
+    nb = 1
+    while (B % (nb * 2) == 0 and nb * sr * W2 < 4096
+           and vmem_of(t, nb * 2) <= _VMEM_BUDGET):
+        nb *= 2
+    return t, nb
+
+
 def pad_act(x: jax.Array) -> jax.Array:
     """(B, H, W, C) -> layout tensor (XLA-side; used at pipeline boundaries)."""
     b, h, w, c = x.shape
@@ -685,17 +715,11 @@ def fused_stem(
     m = _pad1(np.asarray(stem["mult_core"]) / 255.0, Cop)
     bias = _pad1(stem["bias"], Cop)
 
-    def vmem_of(t):
-        slab = 2 * (t + 1) * Ws2 * 128  # double-buffered
-        taps = 3 * t * Ws2 * 128 * 4 + t * Ws * 128 * 2
-        acc = t * Ws * Cop * 4 * 2
-        return slab + taps + acc + 4 * 128 * Cop * 4 + 2 * t * Ws2 * Cop
-
     if tile_oh <= 0:
         from spef_tpu.quant.autotune import block_signature, lookup_tile
 
         tuned, _ = lookup_tile(block_signature("stem", H, W, 3, 12, Cout, 2))
-        tile_oh = tuned if tuned else _fit_tile_oh(Hs, 32, vmem_of)
+        tile_oh = tuned if tuned else stem_default_tile(Hs, Ws, Ws2, Cop)
     while Hs % tile_oh:
         tile_oh //= 2
     n_tiles = Hs // tile_oh

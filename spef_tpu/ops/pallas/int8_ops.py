@@ -66,14 +66,20 @@ def _mm_kernel(x_ref, w_ref, mult_ref, bias_ref, out_ref, *, relu, out_inv_step,
 
 
 def _mm_res_kernel(x_ref, w_ref, mult_ref, bias_ref, res_ref, out_ref, *, out_inv_step,
-                   out_qmax, out_qmin):
-    """Projection + shared-grid requant + residual add (both int8 on the
-    shared grid); sum emitted as int8 (fits for shared widths <= 6)."""
+                   out_qmax, out_qmin, res_ratio, res_qmax, res_qmin):
+    """Projection + shared-grid requant + residual add + consumer requant.
+
+    Both the projection requant and the residual are int8 on the SHARED
+    grid, so their sum spans up to twice the grid (±255 for shared width
+    8) — the sum is kept exact in f32 and requantized straight to the
+    consumer grid (``res_ratio = shared_step / consumer_step``), matching
+    the int8_carry/int8_fused executors.  Never clamp the sum to int8:
+    that saturates for shared widths > 6 (ADVICE r2)."""
     acc = _dot_exact(x_ref, w_ref)
     y = acc * mult_ref[:] + bias_ref[:]
-    q = jnp.clip(jnp.round(y * out_inv_step), out_qmin, out_qmax).astype(jnp.int32)
-    s = q + res_ref[:].astype(jnp.int32)
-    out_ref[:] = jnp.clip(s, -128, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(y * out_inv_step), out_qmin, out_qmax)
+    s = q + res_ref[:].astype(jnp.float32)
+    out_ref[:] = jnp.clip(jnp.round(s * res_ratio), res_qmin, res_qmax).astype(jnp.int8)
 
 
 def _mm_f32out_kernel(x_ref, w_ref, mult_ref, bias_ref, out_ref, *, relu):
@@ -86,7 +92,8 @@ def _mm_f32out_kernel(x_ref, w_ref, mult_ref, bias_ref, out_ref, *, relu):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "out_inv_step", "out_qmax", "out_qmin", "block_m", "block_n"),
+    static_argnames=("relu", "out_inv_step", "out_qmax", "out_qmin", "block_m", "block_n",
+                     "res_ratio", "res_qmax", "res_qmin"),
 )
 def int8_matmul_requant(
     x: jax.Array,  # (M, K) int8
@@ -100,6 +107,9 @@ def int8_matmul_requant(
     out_qmin: float = 0.0,
     block_m: int = 2048,
     block_n: int = 256,  # tiling sweep: see benchmarks/mm_tuning.json
+    res_ratio: float = 1.0,   # shared_step / consumer_step for the residual sum
+    res_qmax: float = 127.0,  # consumer grid bounds for the requantized sum
+    res_qmin: float = -128.0,
 ):
     m, k = x.shape
     _, n = w.shape
@@ -125,7 +135,8 @@ def int8_matmul_requant(
         out_dtype = jnp.float32
     elif residual is not None:
         kernel = functools.partial(
-            _mm_res_kernel, out_inv_step=out_inv_step, out_qmax=out_qmax, out_qmin=out_qmin
+            _mm_res_kernel, out_inv_step=out_inv_step, out_qmax=out_qmax, out_qmin=out_qmin,
+            res_ratio=res_ratio, res_qmax=res_qmax, res_qmin=res_qmin,
         )
         in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM))
         out_dtype = jnp.int8
@@ -292,6 +303,9 @@ def xla_matmul_requant(
     out_inv_step: Optional[float] = None,
     out_qmax: float = 127.0,
     out_qmin: float = 0.0,
+    res_ratio: float = 1.0,
+    res_qmax: float = 127.0,
+    res_qmin: float = -128.0,
     **_: object,
 ):
     acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
@@ -303,7 +317,10 @@ def xla_matmul_requant(
         return y
     q = jnp.clip(jnp.round(y * out_inv_step), out_qmin, out_qmax)
     if residual is not None:
-        q = jnp.clip(q.astype(jnp.int32) + residual.astype(jnp.int32), -128, 127)
+        # Exact shared-grid sum, requantized straight to the consumer grid
+        # (never clamp to int8: saturates for shared widths > 6).
+        s = q + residual.astype(jnp.float32)
+        q = jnp.clip(jnp.round(s * res_ratio), res_qmin, res_qmax)
     return q.astype(jnp.int8)
 
 

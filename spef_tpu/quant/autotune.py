@@ -127,14 +127,26 @@ def tune_graph(
     h, w = img_hw
 
     # --- stem ---
+    from spef_tpu.ops.pallas.fused_block import (
+        PACK_MAX_C, _round_up, packed_width, stem_default_tile,
+    )
+    import os as _os
+
+    _pmax = PACK_MAX_C if _os.environ.get("SPEF_PACK") else 0
     hs, ws = h // 2, w // 2
     cout = int(graph["stem"]["w_int"].shape[-1])
+    # Mirror the executor's packed-layout policy (int8_fused.py) so tuned
+    # tiles are measured on the output layout production runs use.
+    stem_packed = cout <= _pmax
     sig = block_signature("stem", h, w, 3, 12, cout, 2)
     images = jnp.asarray(rng.randint(0, 256, (batch, h, w, 3), np.uint8))
+    stem_cop = 32 if stem_packed else _round_up(cout, 128)
+    default_tile = stem_default_tile(hs, ws, _round_up(ws + 2, 8), stem_cop)
     sweep = {}
-    for tile in _candidates(hs):
+    for tile in sorted(set(_candidates(hs)) | {default_tile}):
         try:
-            ms = _time_fn(lambda x, t=tile: fused_stem(x, graph["stem"], tile_oh=t),
+            ms = _time_fn(lambda x, t=tile: fused_stem(
+                x, graph["stem"], tile_oh=t, out_packed=stem_packed),
                           images, iters) * 1e3
         except Exception as exc:
             if verbose:
@@ -145,10 +157,11 @@ def tune_graph(
             print(f"{sig} tile_oh={tile}: {ms:.3f} ms")
     if sweep:
         best = min(sweep, key=sweep.get)
-        default = sweep.get(str(hs if hs <= 32 else 32), sweep[best])
+        default = sweep.get(str(default_tile))
         table[sig] = {"tile_oh": int(best), "ms": sweep[best], "candidates": sweep,
                       "default_ms": default,
-                      "speedup": round(default / sweep[best], 3)}
+                      "speedup": round(default / sweep[best], 3) if default else None,
+                      "default_skipped": default is None}
 
     # --- blocks ---
     cur_h, cur_w = hs, ws
@@ -193,40 +206,54 @@ def tune_graph(
                 wo2, cop = 4 * packed_width(wo), 32
             else:
                 wo2, cop = act_layout(ho, wo, cout)
+            from spef_tpu.ops.pallas.fused_block import mbconv_default_tiles
+
+            # The executor's untuned configuration (_fit_tile_oh + auto
+            # batch-tiling) — timed explicitly so the reported speedup
+            # compares against what actually runs without tuning.
+            dt, db = mbconv_default_tiles(batch, ho, stride, w2, wo, wo2,
+                                          cp, chp, cop, "expand" in blk)
             sweep = {}
-            for tile in _candidates(ho):
+            cand_pairs = {(tile, nb) for tile in _candidates(ho)
+                          for nb in (1, 4, 16, 64)}
+            cand_pairs.add((dt, db))
+            for tile, nb in sorted(cand_pairs):
                 sr = tile + 2 if stride == 1 else 2 * tile + 2
-                for nb in (1, 4, 16, 64):
-                    if batch % nb or nb * sr * w2 > 32768:
-                        continue
-                    est = nb * mbconv_vmem_bytes(tile, stride, w2, wo, wo2, cp,
-                                                 chp, cop, "expand" in blk)
-                    if est > int(_VMEM_LIMIT * 0.9):
-                        continue
-                    key = f"t{tile}b{nb}"
-                    try:
-                        ms = _time_fn(
-                            lambda xx, t=tile, n=nb: fused_mbconv(
-                                xx, blk, in_step=step, out_grid=out_grid,
-                                shared_grid=shared, logical_hw=(cur_h, cur_w),
-                                tile_oh=t, tile_b=n,
-                                in_packed=in_packed, out_packed=out_packed),
-                            x, iters) * 1e3
-                    except Exception as exc:  # compile-side OOM etc.: skip
-                        if verbose:
-                            print(f"{sig} {key}: failed ({type(exc).__name__})")
-                        continue
-                    sweep[key] = round(ms, 4)
+                is_default = (tile, nb) == (dt, db)
+                if batch % nb or (not is_default and nb * sr * w2 > 32768):
+                    continue
+                est = nb * mbconv_vmem_bytes(tile, stride, w2, wo, wo2, cp,
+                                             chp, cop, "expand" in blk)
+                # The executor runs the default regardless of the sweep's
+                # safety margin — never filter it out of the baseline.
+                if not is_default and est > int(_VMEM_LIMIT * 0.9):
+                    continue
+                key = f"t{tile}b{nb}"
+                try:
+                    ms = _time_fn(
+                        lambda xx, t=tile, n=nb: fused_mbconv(
+                            xx, blk, in_step=step, out_grid=out_grid,
+                            shared_grid=shared, logical_hw=(cur_h, cur_w),
+                            tile_oh=t, tile_b=n,
+                            in_packed=in_packed, out_packed=out_packed),
+                        x, iters) * 1e3
+                except Exception as exc:  # compile-side OOM etc.: skip
                     if verbose:
-                        print(f"{sig} {key}: {ms:.3f} ms")
+                        print(f"{sig} {key}: failed ({type(exc).__name__})")
+                    continue
+                sweep[key] = round(ms, 4)
+                if verbose:
+                    print(f"{sig} {key}: {ms:.3f} ms")
             if sweep:
                 best = min(sweep, key=sweep.get)
                 bt, bb = best[1:].split("b")
-                default = sweep.get(f"t{ho if ho <= 32 else 32}b1", sweep[best])
+                default = sweep.get(f"t{dt}b{db}")
                 table[sig] = {"tile_oh": int(bt), "tile_b": int(bb),
                               "ms": sweep[best], "candidates": sweep,
                               "default_ms": default,
-                              "speedup": round(default / sweep[best], 3)}
+                              "speedup": (round(default / sweep[best], 3)
+                                          if default else None),
+                              "default_skipped": default is None}
         # track grid + shape evolution like the executor does
         if blk["use_residual"]:
             og = _consumer_grid(graph, i)

@@ -173,10 +173,17 @@ def build_pallas_forward(
             out_grid = consumer_grid(i)
 
             if blk["use_residual"]:
-                # project -> requant to shared grid -> +residual, then the
-                # sum requantizes to the consumer grid. Two grids are only
-                # distinguishable on the integer sum, so: emit q_proj+res on
-                # the shared grid (exact), then ratio-requant to consumer.
+                # project -> requant to shared grid -> +residual -> requant
+                # the EXACT sum to the consumer grid, all fused in-kernel.
+                # The sum spans up to twice the shared grid (±255 at shared
+                # width 8), so it must never be clamped to int8 on the
+                # shared grid first (ADVICE r2) — the kernel keeps it wide
+                # and emits consumer-grid int8 directly, matching
+                # int8_carry/int8_fused numerics.
+                assert out_grid is not None  # residual blocks always have a shared grid
+                ratio = blk["shared_step"] / out_grid["step"]
+                rq, rqmin, rqmax = (out_grid["step"], out_grid["qmin"],
+                                    out_grid["qmax"])
                 ssum = mm(
                     hcur.reshape(m2, hcur.shape[-1]),
                     p["w_int"].reshape(p["w_int"].shape[-2], p["w_int"].shape[-1]),
@@ -185,14 +192,11 @@ def build_pallas_forward(
                     relu=False, out_inv_step=float(1.0 / blk["shared_step"]),
                     out_qmax=float(blk["shared_qmax"]),
                     out_qmin=float(-blk["shared_qmax"] - 1),
+                    res_ratio=float(ratio), res_qmax=float(rqmax),
+                    res_qmin=float(rqmin),
                 )
                 y = ssum.reshape(hb, hh, hw, cout)
-                step = blk["shared_step"]
-                if out_grid is not None and abs(step - out_grid["step"]) > 1e-12:
-                    ratio = step / out_grid["step"]
-                    y = jnp.clip(jnp.round(y.astype(jnp.float32) * ratio),
-                                 out_grid["qmin"], out_grid["qmax"]).astype(jnp.int8)
-                    step = out_grid["step"]
+                step = rq
             else:
                 assert out_grid is not None, "float handoff not supported in pallas path"
                 out = mm(

@@ -36,6 +36,9 @@ from spef_tpu.utils.metrics import RunningAverage, mad
 __all__ = ["Trainer", "evaluation"]
 
 _METRIC_KEYS = ("loss", "esa_score", "ori_score", "pos_score", "ori_error", "pos_error")
+# Device-metric readback window: batches buffered before a host flush
+# (divergence is caught within this many batches of where it happened).
+_FLUSH_EVERY = 50
 
 
 def _masked_metrics(spe_utils: SPEUtils, pose, targets, mask) -> Dict[str, jax.Array]:
@@ -236,12 +239,26 @@ class Trainer:
         for epoch in range(start_epoch, n_epochs + 1):
             for phase in split:
                 running = RunningAverage(keys=_METRIC_KEYS)
-                # Per-batch metrics stay ON DEVICE until the phase ends: a
+                # Per-batch metrics stay ON DEVICE between flushes: a
                 # per-batch float() readback blocks the async dispatch
                 # pipeline every step, which on a tunneled device costs one
                 # RTT per batch (~2 min/epoch at 313 batches — measured r2).
+                # Flushing every _FLUSH_EVERY batches keeps the pipeline
+                # full while bounding how far a divergence can run before
+                # the non-finite guard fires (ADVICE r2).
                 pending = []
-                for batch in data[phase]:
+
+                def _flush():
+                    for b_idx, n_v, metrics in pending:
+                        host = {k: float(v) for k, v in metrics.items()}
+                        if not np.isfinite(host["loss"]):
+                            raise ValueError(
+                                f"Non-finite loss at epoch {epoch} ({phase}), "
+                                f"batch {b_idx}")
+                        running.update(host, n_v)
+                    pending.clear()
+
+                for b_idx, batch in enumerate(data[phase]):
                     n_valid = int(batch["mask"].sum())
                     if phase == "train":
                         rng, step_rng = jax.random.split(rng)
@@ -260,13 +277,11 @@ class Trainer:
                             _put(batch["pos"]), _put(batch["mask"]),
                         )
                     pending.append(
-                        (n_valid,
+                        (b_idx, n_valid,
                          {k: v for k, v in metrics.items() if not k.startswith("_")}))
-                for n_valid, metrics in pending:
-                    host = {k: float(v) for k, v in metrics.items()}
-                    if not np.isfinite(host["loss"]):
-                        raise ValueError(f"Non-finite loss at epoch {epoch} ({phase})")
-                    running.update(host, n_valid)
+                    if len(pending) >= _FLUSH_EVERY:
+                        _flush()
+                _flush()
 
                 rec_loss[phase].append(running.get("loss"))
                 rec_score[phase]["ori"].append(running.get("ori_score"))

@@ -9,7 +9,8 @@ from jax.experimental.pallas import tpu as pltpu
 from spef_tpu.ops.pallas.int8_ops import int8_depthwise3x3, int8_matmul_requant
 
 
-def ref_matmul_requant(x, w, mult, bias, relu, out_inv_step, qmax, qmin, residual=None):
+def ref_matmul_requant(x, w, mult, bias, relu, out_inv_step, qmax, qmin, residual=None,
+                       res_ratio=1.0, res_qmax=127.0, res_qmin=-128.0):
     acc = x.astype(np.int64) @ w.astype(np.int64)
     y = acc.astype(np.float64) * mult + bias
     if relu:
@@ -18,7 +19,10 @@ def ref_matmul_requant(x, w, mult, bias, relu, out_inv_step, qmax, qmin, residua
         return y.astype(np.float32)
     q = np.clip(np.round(y * out_inv_step), qmin, qmax)
     if residual is not None:
-        q = np.clip(q + residual, -128, 127)
+        # Exact shared-grid sum requantized to the consumer grid — never an
+        # intermediate int8 clamp (saturates for shared widths > 6).
+        s = q + residual.astype(np.float64)
+        q = np.clip(np.round(s * res_ratio), res_qmin, res_qmax)
     return q.astype(np.int8)
 
 
@@ -63,6 +67,38 @@ class TestInt8Matmul:
         want = ref_matmul_requant(self.x, self.w, self.mult, self.bias, False, 4.0, 7.0, -8.0,
                                   residual=res)
         np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_residual_wide_shared_grid(self):
+        """Shared width 8 (qmax 127): the projection+residual sum spans
+        ±255 and must be requantized exactly to the consumer grid, not
+        clamped to int8 first (ADVICE r2 regression)."""
+        from spef_tpu.ops.pallas.int8_ops import xla_matmul_requant
+
+        rng = np.random.RandomState(3)
+        res = rng.randint(-127, 128, (160, 256), dtype=np.int8)
+        # Large multiplier so the projection requant rails near ±127 often.
+        mult = (self.mult * 50.0).astype(np.float32)
+        kw = dict(relu=False, out_inv_step=1.0, out_qmax=127.0, out_qmin=-128.0,
+                  res_ratio=0.5, res_qmax=127.0, res_qmin=-128.0)
+        want = ref_matmul_requant(self.x, self.w, mult, self.bias, False, 1.0,
+                                  127.0, -128.0, residual=res,
+                                  res_ratio=0.5)
+        with pltpu.force_tpu_interpret_mode():
+            got = int8_matmul_requant(
+                jnp.asarray(self.x), jnp.asarray(self.w), jnp.asarray(mult),
+                jnp.asarray(self.bias), residual=jnp.asarray(res),
+                block_m=64, block_n=128, **kw)
+        np.testing.assert_array_equal(np.asarray(got), want)
+        # The sum must actually exceed int8 range somewhere for this test
+        # to bite: verify the unclamped sum saturates.
+        q = np.clip(np.round(
+            (self.x.astype(np.int64) @ self.w.astype(np.int64)) * mult
+            + self.bias), -128, 127)
+        assert np.abs(q + res).max() > 127
+        got_xla = xla_matmul_requant(
+            jnp.asarray(self.x), jnp.asarray(self.w), jnp.asarray(mult),
+            jnp.asarray(self.bias), residual=jnp.asarray(res), **kw)
+        np.testing.assert_array_equal(np.asarray(got_xla), want)
 
     def test_non_divisible_m(self):
         """M not a multiple of block_m (padding path)."""
