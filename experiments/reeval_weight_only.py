@@ -14,6 +14,8 @@ import os
 import pickle
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main(exp_dir):
     from spef_tpu.codec.facade import SPEUtils
@@ -29,6 +31,13 @@ def main(exp_dir):
     cfg = load_config(os.path.join(exp_dir, "config.yaml"))
     with open(os.path.join(exp_dir, "int8_graph.pkl"), "rb") as f:
         graph = pickle.load(f)
+    # The saved graph passed through tree_map(np.asarray), which also wraps
+    # python scalars (stride, steps, qmax) as 0-d arrays — conv params must
+    # be hashable ints again.
+    import jax
+
+    graph = jax.tree_util.tree_map(
+        lambda v: v.item() if getattr(v, "ndim", 1) == 0 else v, graph)
 
     camera = load_camera(cfg.DATA.PATH)
     spe_utils = SPEUtils.create(

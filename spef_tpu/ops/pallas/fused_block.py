@@ -256,6 +256,176 @@ def _store_with_halo(out_ref, data, nb, th, Wo, Wo2, C):
 
 
 # ---------------------------------------------------------------------------
+# Phase-major packed formulation (in_packed path)
+# ---------------------------------------------------------------------------
+#
+# Mosaic cannot lower the lane->sublane SPLIT reshape the original packed
+# path needed to unfold 4 pixels/lane-group after the slab DMA (the merge
+# direction lowers; probed on-chip r2).  The phase-major formulation never
+# relayouts: the packed slab (G, 128) is consumed directly with lanes read
+# as 4 column-phases x 32 channels,
+#
+#   * expand: ONE block-diagonal matmul (128, 4*Chp) — phase p's channel
+#     slice maps to hidden lane block p.  Same MXU work as the unpacked
+#     K=128-padded matmul (identical M*K*N), 4x fewer rows.
+#   * hidden tensor stays phase-major: lane = p*Chp + c, column = 4g + p.
+#   * depthwise column taps: +/-1 column shifts are 128-aligned LANE
+#     slices + concat, with the group-boundary phase fixed up from the
+#     sublane(G)-shifted tensor; stride 2 first merges group pairs
+#     (sublane->lane, the direction that lowers) into 8 phases and selects
+#     even/odd phase blocks per tap.
+#   * project: block-diagonal matmul (4*Chp, 128) emits the packed OUTPUT
+#     layout natively — there is no repack anywhere.
+#
+# This is the FINN-folding analogue for narrow tensors: layout follows the
+# dataflow, so <=32-channel block edges carry 1/4 of the lane-padded bytes
+# across HBM (`/root/reference/src/finn/folding.py:312-442` plays this
+# role in fabric).
+
+
+def _pm_block_diag(w: np.ndarray, row_sub: int, col_sub: int) -> np.ndarray:
+    """(4*row_sub, 4*col_sub) f32 with w at [p*row_sub.., p*col_sub..]."""
+    out = np.zeros((4 * row_sub, 4 * col_sub), np.float32)
+    r, c = np.asarray(w, np.float32).shape
+    for p in range(4):
+        out[p * row_sub: p * row_sub + r, p * col_sub: p * col_sub + c] = w
+    return out
+
+
+def _pm_gshift(a, d, NB, SR, G, L):
+    """Shift along the group (second-minor) axis: result[g] = a[g+d]
+    (zeros shifted in at the edge); d in {+1, -1}."""
+    z = jnp.zeros((NB, SR, 1, L), a.dtype)
+    if d == 1:
+        return jnp.concatenate(
+            [jax.lax.slice(a, (0, 0, 1, 0), (NB, SR, G, L)), z], axis=2)
+    return jnp.concatenate(
+        [z, jax.lax.slice(a, (0, 0, 0, 0), (NB, SR, G - 1, L))], axis=2)
+
+
+def _pm_col_shift(h, s, NB, SR, G, Chp):
+    """Column shift by s in {-1, 0, +1} of a phase-major tensor: lane-slice
+    + concat, group boundary from the G-shifted strip."""
+    L4 = 4 * Chp
+    if s == 0:
+        return h
+    if s == 1:
+        lo = jax.lax.slice(h, (0, 0, 0, 0), (NB, SR, G, Chp))  # phase 0
+        return jnp.concatenate(
+            [jax.lax.slice(h, (0, 0, 0, Chp), (NB, SR, G, L4)),
+             _pm_gshift(lo, 1, NB, SR, G, Chp)], axis=3)
+    hi = jax.lax.slice(h, (0, 0, 0, 3 * Chp), (NB, SR, G, L4))  # phase 3
+    return jnp.concatenate(
+        [_pm_gshift(hi, -1, NB, SR, G, Chp),
+         jax.lax.slice(h, (0, 0, 0, 0), (NB, SR, G, 3 * Chp))], axis=3)
+
+
+def _mbconv_pm_body(
+    sl, w1, m1, b1, w2, m2, b2, w3, m3, b3, out_ref, probe_store, *,
+    NB, H, W, Wo, G, Chp, SR, stride, th, start, has_expand, hidden_grid,
+    use_residual, inv_h, qmax_h, inv_d, qmax_d, dw_grid,
+    inv_sh, qmax_sh, ratio_out, qmin_o, qmax_o, G_out, stage,
+):
+    """Phase-major compute on a packed slab (NB, SR, G, 128).
+
+    All per-channel operands (m*, b*, w2) arrive phase-tiled (length
+    4*Chp / 128); w1/w3 arrive block-diagonal (see _pm_block_diag).
+    """
+    L4 = 4 * Chp
+
+    # Valid-position mask in phase-major coordinates: column = 4g + p.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SR, G, L4), 0) + start
+    col = (4 * jax.lax.broadcasted_iota(jnp.int32, (SR, G, L4), 1)
+           + jax.lax.broadcasted_iota(jnp.int32, (SR, G, L4), 2) // Chp)
+    valid = ((rows >= 0) & (rows < H) & (col >= 1) & (col <= W))
+    mask = valid.astype(jnp.float32)[None]
+
+    # Expand: one block-diagonal matmul; the identity case (no-expand
+    # blocks) must NOT apply relu/bias — the input is signed.
+    xs = sl.reshape(NB * SR * G, 128).astype(jnp.bfloat16)
+    acc1 = jnp.dot(xs, w1[:].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32).reshape(NB, SR, G, L4)
+    if has_expand:
+        h = jnp.maximum(acc1 * m1[:] + b1[:], 0.0)
+        if hidden_grid:
+            h = jnp.clip(jnp.round(h * inv_h), 0.0, qmax_h)
+        h = h * mask
+    else:
+        h = acc1 * mask
+    if stage == "expand":
+        probe_store(h)
+        return
+
+    w2f = w2[:].astype(jnp.float32)  # (9, L4) phase-tiled
+    if stride == 1:
+        taps = {s: _pm_col_shift(h, s, NB, SR, G, Chp) for s in (-1, 0, 1)}
+        acc = jnp.zeros((NB, th, G, L4), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = jax.lax.slice(taps[dx - 1], (0, dy, 0, 0),
+                                    (NB, dy + th, G, L4))
+                acc = acc + tap * w2f[3 * dy + dx]
+        Gc = G
+    else:
+        # Merge group pairs (sublane->lane, the direction Mosaic lowers):
+        # 8 input phases per super-group; output phase p_o tap dx reads
+        # input phase q = 2*p_o + dx - 2 (q<0 from the previous group).
+        G2 = G // 2
+        hh = h.reshape(NB, SR, G2, 2 * L4)
+
+        def sel(q):
+            if q < 0:
+                strip = jax.lax.slice(hh, (0, 0, 0, (q + 8) * Chp),
+                                      (NB, SR, G2, (q + 9) * Chp))
+                return _pm_gshift(strip, -1, NB, SR, G2, Chp)
+            return jax.lax.slice(hh, (0, 0, 0, q * Chp),
+                                 (NB, SR, G2, (q + 1) * Chp))
+
+        acc = jnp.zeros((NB, th, G2, L4), jnp.float32)
+        for dx in range(3):
+            s_dx = jnp.concatenate([sel(2 * p + dx - 2) for p in range(4)],
+                                   axis=3)
+            for dy in range(3):
+                rsel = jax.lax.slice(s_dx, (0, dy, 0, 0),
+                                     (NB, dy + 2 * th, G2, L4))
+                rsel = rsel.reshape(NB, th, 2, G2, L4)[:, :, 0]  # rows 2r+dy
+                acc = acc + rsel * w2f[3 * dy + dx]
+        Gc = G2
+    y = jnp.maximum(acc * m2[:] + b2[:], 0.0)
+    if dw_grid:
+        y = jnp.clip(jnp.round(y * inv_d), 0.0, qmax_d)
+    if stage == "dw":
+        probe_store(y)
+        return
+
+    # Project: block-diagonal matmul emits the packed output layout.
+    yb = y.reshape(NB * th * Gc, L4).astype(jnp.bfloat16)
+    pf = (jnp.dot(yb, w3[:].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) * m3[:] + b3[:]
+          ).reshape(NB, th, Gc, 128)
+    if use_residual:
+        q = jnp.clip(jnp.round(pf * inv_sh), -qmax_sh - 1.0, qmax_sh)
+        res = jax.lax.slice(sl, (0, 1, 0, 0), (NB, 1 + th, G, 128))
+        s = q + res.astype(jnp.float32)
+        if ratio_out is not None:
+            out = jnp.clip(jnp.round(s * ratio_out), qmin_o, qmax_o)
+        else:
+            out = jnp.clip(s, -128.0, 127.0)
+    else:
+        out = jnp.clip(jnp.round(pf * ratio_out), qmin_o, qmax_o)
+
+    # Output column mask (halo col 0 + cols > Wo are stored as real zeros;
+    # lanes beyond Cout are zero already: block-diag w3/bias are padded).
+    ocol = (4 * jax.lax.broadcasted_iota(jnp.int32, (th, Gc, 128), 1)
+            + jax.lax.broadcasted_iota(jnp.int32, (th, Gc, 128), 2) // 32)
+    omask = ((ocol >= 1) & (ocol <= Wo)).astype(jnp.float32)[None]
+    out_ref[:, :, pl.ds(0, Gc), :] = (out * omask).astype(jnp.int8)
+    if G_out > Gc:
+        out_ref[:, :, pl.ds(Gc, G_out - Gc), :] = jnp.zeros(
+            (NB, th, G_out - Gc, 128), jnp.int8)
+
+
+# ---------------------------------------------------------------------------
 # Fused inverted-residual block
 # ---------------------------------------------------------------------------
 
@@ -276,7 +446,9 @@ def _mbconv_kernel(
     'expand' after the hidden tensor, 'dw' after the depthwise stage;
     truncated variants store a reduction of the live tensor so Mosaic
     cannot dead-code the measured work."""
-    if has_expand:
+    if has_expand or in_packed:
+        # The phase-major path always carries an expand operand (identity
+        # block-diagonal for no-expand blocks).
         w1, m1, b1, w2, m2, b2, w3, m3, b3, out_ref, slab, sem = refs
     else:
         w2, m2, b2, w3, m3, b3, out_ref, slab, sem = refs
@@ -316,10 +488,6 @@ def _mbconv_kernel(
 
     issue(b, t, slot, "wait")
     sl = slab.at[slot][:]
-    if in_packed:
-        # Packed layout: one minor-dims reshape unfolds 4 pixels/lane-group
-        # into (W2, 32) columns; everything downstream is layout-agnostic.
-        sl = sl.reshape(NB, SR, W2, Cp)
 
     ow, oc = (Wo2 // 4, 128) if out_packed else (Wo2, Cop)
 
@@ -329,6 +497,19 @@ def _mbconv_kernel(
 
     if stage == "dma":
         _probe_store(sl)
+        return
+
+    if in_packed:
+        # Phase-major path: consume the packed slab directly (no relayout).
+        _mbconv_pm_body(
+            sl, w1, m1, b1, w2, m2, b2, w3, m3, b3, out_ref, _probe_store,
+            NB=NB, H=H, W=W, Wo=Wo, G=W2 // 4, Chp=Chp, SR=SR, stride=stride,
+            th=th, start=start, has_expand=has_expand, hidden_grid=hidden_grid,
+            use_residual=use_residual, inv_h=inv_h, qmax_h=qmax_h,
+            inv_d=inv_d, qmax_d=qmax_d, dw_grid=dw_grid,
+            inv_sh=inv_sh, qmax_sh=qmax_sh, ratio_out=ratio_out,
+            qmin_o=qmin_o, qmax_o=qmax_o, G_out=Wo2 // 4, stage=stage,
+        )
         return
 
     def expand_fn(xi, n_cols, mask):
@@ -467,7 +648,12 @@ def fused_mbconv(
     Cin = (e["w_int"].shape[-2] if has_expand else d["w_int"].shape[-1])
     Ch = d["w_int"].shape[-1]
     Cout = p["w_int"].shape[-1]
-    Chp = Cp if not has_expand else _round_up(Ch, 128)
+    if in_packed:
+        # Phase-major path: per-phase lane blocks must be 128-aligned.
+        assert out_packed, "phase-major blocks emit the packed layout only"
+        Chp = _round_up(Ch, 128)
+    else:
+        Chp = Cp if not has_expand else _round_up(Ch, 128)
     if out_packed:
         assert Cout <= PACK_MAX_C
         Cop = 32
@@ -490,23 +676,57 @@ def fused_mbconv(
         )
         args.append(a)
 
-    if has_expand:
-        h_step = e["act_step"] if hidden_grid else 1.0
-        vin(_pad2(np.asarray(e["w_int"]).reshape(Cin, Ch), Cp, Chp))
-        vin(_pad1(np.asarray(e["mult_core"]) * in_step, Chp))
-        vin(_pad1(e["bias"], Chp))
-        m2 = _pad1(np.asarray(d["mult_core"]) * h_step, Chp)
-    else:
-        m2 = _pad1(np.asarray(d["mult_core"]) * in_step, Chp)
-    vin(_pad2(np.asarray(d["w_int"]).reshape(9, Ch), 9, Chp))
-    vin(m2)
-    vin(_pad1(d["bias"], Chp))
-    vin(_pad2(np.asarray(p["w_int"]).reshape(Ch, Cout), Chp, Cop))
-    # Boundary-only recipe: no depthwise act grid -> the projection consumes
-    # real values, so its multiplier is unscaled.
     dw_grid = "act_step" in d
-    vin(_pad1(np.asarray(p["mult_core"]) * (d["act_step"] if dw_grid else 1.0), Cop))
-    vin(_pad1(p["bias"], Cop))
+    if in_packed:
+        # Phase-major operands: block-diagonal expand/project, phase-tiled
+        # per-channel vectors (length 4*Chp / 128).
+        def _tile4(a, sub):
+            v = np.zeros(sub, np.float32)
+            a = np.asarray(a, np.float32).reshape(-1)
+            v[: a.shape[0]] = a
+            return jnp.asarray(np.tile(v, 4).reshape(1, 4 * sub))
+
+        if has_expand:
+            h_step = e["act_step"] if hidden_grid else 1.0
+            vin(_pm_block_diag(np.asarray(e["w_int"]).reshape(Cin, Ch),
+                               32, Chp))
+            vin(_tile4(np.asarray(e["mult_core"]) * in_step, Chp))
+            vin(_tile4(e["bias"], Chp))
+            m2 = _tile4(np.asarray(d["mult_core"]) * h_step, Chp)
+        else:
+            vin(_pm_block_diag(np.eye(Cin, dtype=np.float32), 32, Chp))
+            vin(_tile4(np.ones(Chp), Chp))   # unused (identity path)
+            vin(_tile4(np.zeros(Chp), Chp))  # unused
+            m2 = _tile4(np.asarray(d["mult_core"]) * in_step, Chp)
+        w2pm = np.zeros((9, 4 * Chp), np.float32)
+        for ph in range(4):
+            w2pm[:, ph * Chp: ph * Chp + Ch] = np.asarray(
+                d["w_int"], np.float32).reshape(9, Ch)
+        vin(jnp.asarray(w2pm))
+        vin(m2)
+        vin(_tile4(d["bias"], Chp))
+        vin(_pm_block_diag(np.asarray(p["w_int"]).reshape(Ch, Cout),
+                           Chp, 32))
+        vin(_tile4(np.asarray(p["mult_core"])
+                   * (d["act_step"] if dw_grid else 1.0), 32))
+        vin(_tile4(p["bias"], 32))
+    else:
+        if has_expand:
+            h_step = e["act_step"] if hidden_grid else 1.0
+            vin(_pad2(np.asarray(e["w_int"]).reshape(Cin, Ch), Cp, Chp))
+            vin(_pad1(np.asarray(e["mult_core"]) * in_step, Chp))
+            vin(_pad1(e["bias"], Chp))
+            m2 = _pad1(np.asarray(d["mult_core"]) * h_step, Chp)
+        else:
+            m2 = _pad1(np.asarray(d["mult_core"]) * in_step, Chp)
+        vin(_pad2(np.asarray(d["w_int"]).reshape(9, Ch), 9, Chp))
+        vin(m2)
+        vin(_pad1(d["bias"], Chp))
+        vin(_pad2(np.asarray(p["w_int"]).reshape(Ch, Cout), Chp, Cop))
+        # Boundary-only recipe: no depthwise act grid -> the projection
+        # consumes real values, so its multiplier is unscaled.
+        vin(_pad1(np.asarray(p["mult_core"]) * (d["act_step"] if dw_grid else 1.0), Cop))
+        vin(_pad1(p["bias"], Cop))
 
     if use_residual:
         assert shared_grid is not None and Cp == Cop

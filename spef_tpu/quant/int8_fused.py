@@ -169,6 +169,14 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
             if _block_fusable(blk, h, w):
                 in_packed = c <= PACK_MAX_C
                 out_packed = cout <= PACK_MAX_C
+                if in_packed and not out_packed:
+                    # The phase-major kernel emits the packed layout only;
+                    # at the packed chain's end (c<=32 -> cout>32, e.g.
+                    # MobileNetV2 block 7) relayout once via XLA — a cheap
+                    # HBM pass at the low-resolution transition point.
+                    if layout:
+                        y = pad_act(unpad_act_packed(y, w, c))
+                    in_packed = False
                 if not layout:
                     y = pad_act_packed(y) if in_packed else pad_act(y)
                     layout = True

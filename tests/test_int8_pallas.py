@@ -192,21 +192,47 @@ def test_packed_layout_roundtrip_and_block_equivalence():
                 "bias": jnp.asarray(rng.randn(shape[-1]).astype(np.float32) * 1e-2),
                 "stride": 1, "groups": 1}
 
-    for stride, residual in ((1, True), (2, False)):
+    # (stride, residual, expand, grids, equal-grid residual, tiling):
+    # covers the phase-major kernel's branches — block-diag expand vs
+    # identity, hidden/dw grids vs boundary recipe (real interiors), the
+    # ratio-requant vs clamp residual exits, and multi-tile/batch tiling
+    # (group-boundary column shifts + DMA edge masks).
+    cases = [
+        dict(stride=1, residual=True, expand=True, grids=True, eqgrid=False),
+        dict(stride=2, residual=False, expand=True, grids=True, eqgrid=False),
+        dict(stride=1, residual=True, expand=False, grids=True, eqgrid=False),
+        dict(stride=1, residual=True, expand=True, grids=False, eqgrid=False),
+        dict(stride=1, residual=True, expand=True, grids=True, eqgrid=True),
+        dict(stride=2, residual=False, expand=False, grids=False, eqgrid=False),
+        dict(stride=1, residual=True, expand=True, grids=True, eqgrid=False,
+             tile_oh=4, tile_b=2),
+        dict(stride=2, residual=False, expand=True, grids=False, eqgrid=False,
+             tile_oh=2, tile_b=2),
+    ]
+    for case in cases:
+        stride, residual = case["stride"], case["residual"]
         cin = cout = 32
+        ch = cin if not case["expand"] else 128
+        dw = {**conv((3, 3, 1, ch)), "stride": stride, "groups": ch}
+        if case["grids"]:
+            dw.update(act_step=0.03, act_qmax=255.0)
         blk = {"use_residual": residual, "input_quant": True, "expand_ratio": 4,
                "shared_step": 0.07, "shared_qmax": 127.0,
-               "depthwise": {**conv((3, 3, 1, 128)), "stride": stride, "groups": 128,
-                             "act_step": 0.03, "act_qmax": 255.0},
-               "project": conv((1, 1, 128, cout)),
-               "expand": {**conv((1, 1, cin, 128)), "act_step": 0.045,
-                          "act_qmax": 255.0}}
+               "depthwise": dw, "project": conv((1, 1, ch, cout))}
+        if case["expand"]:
+            blk["expand"] = conv((1, 1, cin, ch))
+            if case["grids"]:
+                blk["expand"].update(act_step=0.045, act_qmax=255.0)
         h = w = 16
         x = rng.randint(-40, 40, (2, h, w, cin)).astype(np.int8)
-        grid = {"step": 0.06, "qmax": 127.0, "qmin": -128.0}
+        if case["eqgrid"]:
+            grid = {"step": blk["shared_step"], "qmax": 127.0, "qmin": -128.0}
+        else:
+            grid = {"step": 0.06, "qmax": 127.0, "qmin": -128.0}
         shared = {"step": blk["shared_step"], "qmax": blk["shared_qmax"]}
         kw = dict(in_step=0.05, out_grid=grid, logical_hw=(h, w),
-                  shared_grid=shared if residual else None, interpret=True)
+                  shared_grid=shared if residual else None, interpret=True,
+                  tile_oh=case.get("tile_oh", 0), tile_b=case.get("tile_b", 0))
         plain = unpad_act(
             fused_mbconv(pad_act(jnp.asarray(x)), blk, **kw), w // stride, cout)
         packed = unpad_act_packed(
@@ -214,4 +240,4 @@ def test_packed_layout_roundtrip_and_block_equivalence():
                          in_packed=True, out_packed=True, **kw),
             w // stride, cout)
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(packed),
-                                      err_msg=f"stride={stride} res={residual}")
+                                      err_msg=str(case))

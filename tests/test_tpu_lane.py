@@ -118,14 +118,11 @@ class TestPallasKernelsOnChip:
 
 
 @requires_tpu
-@pytest.mark.skipif(not os.environ.get("SPEF_PACK"),
-                    reason="packed layouts are opt-in: their in-kernel unpack "
-                           "needs a lane->sublane split reshape the current "
-                           "Mosaic cannot lower (verified r2); pending the "
-                           "phase-major kernel rework")
 class TestPackedOnChip:
     """On-chip (Mosaic, non-interpret) validation of the width-packed
-    layouts (opt-in via SPEF_PACK, see quant/int8_fused.py)."""
+    layouts: the r3 phase-major kernels consume packed slabs directly
+    (lane-slice column shifts, block-diagonal matmuls) — no lane->sublane
+    split reshape anywhere, so these must lower on real Mosaic."""
 
     @pytest.mark.parametrize("stride,residual", [(1, True), (2, False)])
     def test_packed_block_matches_plain(self, stride, residual):
