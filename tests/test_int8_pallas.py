@@ -97,6 +97,29 @@ def test_fused_pipeline_matches_reference_with_batch_tiling(setup):
                                    atol=1e-3, err_msg=name)
 
 
+def test_fused_pipeline_packed_layout_matches_plain(setup, monkeypatch):
+    """Executor-level parity of the width-PACKED (phase-major) fused path:
+    SPEF_PACK=1 engages the packed layouts for every <=32-channel boundary
+    (stem + both blocks of the small model) including the packed->plain
+    relayout at the chain's end — output must be bit-identical to the plain
+    fused executor and match the reference int8 executor."""
+    from spef_tpu.quant.int8_fused import build_fused_forward
+
+    model, graph, _ = setup
+    images = jnp.asarray(
+        np.random.RandomState(21).randint(0, 256, (4, 32, 48, 3), dtype=np.uint8)
+    )
+    plain_out = build_fused_forward(graph, interpret=True)(images)
+    monkeypatch.setenv("SPEF_PACK", "1")
+    packed_out = build_fused_forward(graph, interpret=True)(images)
+    for a, b, name in ((plain_out[0], packed_out[0], "ori"),
+                       (plain_out[1], packed_out[1], "pos")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+    ref_out = build_int8_forward(graph)(images)
+    np.testing.assert_allclose(np.asarray(packed_out[0]), np.asarray(ref_out[0]),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_fused_mbconv_tile_b_variants_identical():
     """fused_mbconv output is invariant to (tile_oh, tile_b) choices."""
     from spef_tpu.ops.pallas.fused_block import fused_mbconv, pad_act
