@@ -21,6 +21,16 @@ settle() {
   echo "TPU probe failed" >&2; return 1
 }
 
+echo "== 0. Re-evaluate int8 stages hit by the unsigned-grid wrap fix =="
+# w8a8 evaluated at 0.61 vs QAT 0.17 purely from int8 wrap of q>127 acts;
+# boundary15's unsigned stem/head edges were exposed to the same wrap.
+for lad in ladder_w8a8 ladder_boundary15; do
+  timeout 3600 python experiments/reeval_int8.py "$OUT/$lad/config" \
+      2>&1 | tee /tmp/reeval_int8_$lad.log | tail -6
+  tail -40 /tmp/reeval_int8_$lad.log > "$OUT/reeval_int8_$lad.log"
+  settle
+done
+
 echo "== 1. Re-evaluate weight-only on the r2 default ladder =="
 timeout 3600 python experiments/reeval_weight_only.py "$OUT/ladder_default/config" \
     2>&1 | tee /tmp/reeval2.log | tail -5

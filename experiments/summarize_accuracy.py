@@ -133,6 +133,22 @@ def main(exp_dir, suite_dir, out_path=None):
             "(`src/temporal/inference.py:38-39`).",
         ]
 
+    kp = _load(os.path.join(os.path.dirname(exp_dir.rstrip("/")),
+                            "exp_keypoints_synth", "score_error.json"))
+    if kp:
+        et, ot, pt = esa_row(kp["scores"], "test")
+        ev, _, _ = esa_row(kp["scores"], "valid")
+        lines += [
+            "", "## Keypoints + EPnP mode", "",
+            "Keypoint-regression head on the same 24k stills, pose decoded",
+            "through the batched from-scratch EPnP+GN solver (`codec/epnp.py`;",
+            "reference mode: `src/spe/keypoints_utils.py:112-174`).",
+            "",
+            "| Mode | ESA (test) | ESA (valid) | ori (test) | pos (test) |",
+            "|---|---|---|---|---|",
+            f"| keypoints+EPnP | {_fmt(et)} | {_fmt(ev)} | {_fmt(ot)} | {_fmt(pt)} |",
+        ]
+
     sweep = _load(os.path.join(os.path.dirname(suite_dir.rstrip("/")),
                                "bitwidth_sweep", "results.json")) \
         or _load("experiments/bitwidth_sweep/results.json")

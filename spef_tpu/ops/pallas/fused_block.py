@@ -325,6 +325,7 @@ def _mbconv_pm_body(
     NB, H, W, Wo, G, Chp, SR, stride, th, start, has_expand, hidden_grid,
     use_residual, inv_h, qmax_h, inv_d, qmax_d, dw_grid,
     inv_sh, qmax_sh, ratio_out, qmin_o, qmax_o, G_out, stage,
+    in_unsigned=False,
 ):
     """Phase-major compute on a packed slab (NB, SR, G, 128).
 
@@ -342,7 +343,12 @@ def _mbconv_pm_body(
 
     # Expand: one block-diagonal matmul; the identity case (no-expand
     # blocks) must NOT apply relu/bias — the input is signed.
-    xs = sl.reshape(NB * SR * G, 128).astype(jnp.bfloat16)
+    xf = sl.reshape(NB * SR * G, 128).astype(jnp.float32)
+    if in_unsigned:
+        # uint8 bits carry (unsigned 8-bit producer grid, e.g. the boundary
+        # stem): recover the true q; 0..255 stays exact through bf16.
+        xf = xf + 256.0 * (xf < 0.0)
+    xs = xf.astype(jnp.bfloat16)
     acc1 = jnp.dot(xs, w1[:].astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32).reshape(NB, SR, G, L4)
     if has_expand:
@@ -436,7 +442,7 @@ def _mbconv_kernel(
     has_expand, hidden_grid, use_residual,
     inv_h, qmax_h, inv_d, qmax_d, dw_grid, in_packed, out_packed,
     inv_sh, qmax_sh, ratio_out, qmin_o, qmax_o, n_tiles,
-    stage="full",
+    stage="full", in_unsigned=False,
 ):
     """One (batch-chunk, row-tile) program over NB images.  refs:
     [w1, m1, b1]?, w2, m2, b2, w3, m3, b3, out, slab, sem.
@@ -509,6 +515,7 @@ def _mbconv_kernel(
             inv_d=inv_d, qmax_d=qmax_d, dw_grid=dw_grid,
             inv_sh=inv_sh, qmax_sh=qmax_sh, ratio_out=ratio_out,
             qmin_o=qmin_o, qmax_o=qmax_o, G_out=Wo2 // 4, stage=stage,
+            in_unsigned=in_unsigned,
         )
         return
 
@@ -516,15 +523,18 @@ def _mbconv_kernel(
         """int8 tile -> hidden tile: exact integer matmul via bf16 + requant.
         mask zeroes halo columns / out-of-image rows (bias makes them
         nonzero otherwise)."""
+        xf = xi.astype(jnp.float32)
+        if in_unsigned:  # uint8 bits carry -> true q (see _mbconv_pm_body)
+            xf = xf + 256.0 * (xf < 0.0)
         if has_expand:
-            xs = xi.reshape(NB * SR * n_cols, Cp).astype(jnp.bfloat16)
+            xs = xf.reshape(NB * SR * n_cols, Cp).astype(jnp.bfloat16)
             acc = jnp.dot(xs, w1[:].astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
             hh = jnp.maximum(acc * m1[:] + b1[:], 0.0)
             if hidden_grid:
                 hh = jnp.clip(jnp.round(hh * inv_h), 0.0, qmax_h)
             return hh.reshape(NB, SR, n_cols, Chp) * mask
-        return xi.astype(jnp.float32) * mask
+        return xf * mask
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (SR, W2), 0) + start
     cols = jax.lax.broadcasted_iota(jnp.int32, (SR, W2), 1)
@@ -619,6 +629,7 @@ def fused_mbconv(
     stage: str = "full",  # probe truncation, see _mbconv_kernel
     in_packed: bool = False,
     out_packed: bool = False,
+    in_unsigned: bool = False,  # input is a uint8 bits-carry (stem edge)
 ) -> jax.Array:
     """Run one fused inverted-residual block; returns the layout tensor
     (B, Ho, Wo2, Cout128) int8 — or the width-packed (B, Ho, Wo4, 128)
@@ -643,6 +654,10 @@ def fused_mbconv(
         assert W2 == _round_up(W + 2, 8) and Cp % 128 == 0
     has_expand = "expand" in params
     use_residual = params["use_residual"]
+    # The residual is re-read from the input slab as signed int8; a
+    # bits-carry residual would need a decode there too — never arises
+    # (residual blocks requantize their input onto a signed shared grid).
+    assert not (in_unsigned and use_residual)
     e = params.get("expand")
     p = params["project"]
     Cin = (e["w_int"].shape[-2] if has_expand else d["w_int"].shape[-1])
@@ -783,6 +798,7 @@ def fused_mbconv(
         ratio_out=None if ratio_out is None else float(ratio_out),
         qmin_o=float(qmin_o), qmax_o=float(qmax_o), n_tiles=n_tiles,
         stage=stage, in_packed=in_packed, out_packed=out_packed,
+        in_unsigned=in_unsigned,
     )
 
     # Physical (HBM/slab) dims; packed forms fold 4 pixels into the lanes.
@@ -869,6 +885,12 @@ def _stem_kernel(xs_hbm, w_ref, m_ref, b_ref, out_ref, slab, sem, *,
             )
     y = jnp.maximum(acc * m_ref[:] + b_ref[:], 0.0)
     q = jnp.clip(jnp.round(y * inv_a), 0.0, qmax_a)
+    if qmax_a > 127.0:
+        # Unsigned 8-bit stem grid (boundary recipe): emit uint8 BITS in
+        # the int8 layout (q-256 for q>127 is exactly the two's-complement
+        # bit pattern); consumers decode via in_unsigned.  Zeros (halo)
+        # stay zeros, so the layout invariants are untouched.
+        q = jnp.where(q > 127.0, q - 256.0, q)
     if out_packed:
         full = jnp.pad(q.reshape(1, th, Ws, Cop).astype(jnp.int8),
                        ((0, 0), (0, 0), (1, Wso2 - Ws - 1), (0, 0)))

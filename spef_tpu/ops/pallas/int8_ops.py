@@ -306,8 +306,15 @@ def xla_matmul_requant(
     res_ratio: float = 1.0,
     res_qmax: float = 127.0,
     res_qmin: float = -128.0,
+    in_unsigned: bool = False,
     **_: object,
 ):
+    if in_unsigned:
+        # x carries uint8 BITS in int8 lanes (unsigned grid, qmax 255 —
+        # boundary-recipe stem edge): recover the true q exactly.  Zeros
+        # (halo / padding) decode to real 0, so no bias bookkeeping.
+        x = x.astype(jnp.int32) & 255
+        w = w.astype(jnp.int32)
     acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * mult + bias
@@ -333,9 +340,15 @@ def xla_depthwise3x3(
     in_step: float = 1.0,
     out_inv_step: float = 1.0,
     out_qmax: float = 127.0,
+    in_unsigned: bool = False,
     **_: object,
 ):
     c = x.shape[-1]
+    if in_unsigned:
+        # uint8 bits in int8 lanes (see xla_matmul_requant); decode to int16
+        # BEFORE the conv so the spatial zero-padding stays real 0.  Values
+        # 0..255 are exact in the bf16 operand cast below.
+        x = x.astype(jnp.int16) & 255
     wf = w.reshape(3, 3, 1, c).astype(jnp.bfloat16)
     dn = jax.lax.conv_dimension_numbers(x.shape, wf.shape, ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(

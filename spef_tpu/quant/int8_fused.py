@@ -57,10 +57,15 @@ def _consumer_grid(graph, i: int) -> Optional[Dict[str, float]]:
     return None
 
 
-def _xla_block(y, blk, step, out_grid):
+def _xla_block(y, blk, step, out_grid, in_unsigned=False):
     """Conv-form XLA fallback for one block (int8 in/out, carry semantics)."""
     from spef_tpu.quant.int8_carry import _conv_acc, _requant_int8
 
+    if in_unsigned:
+        # uint8 bits-carry input (unsigned 8-bit stem edge): decode to the
+        # true q; int16 keeps the conv padding a real zero.
+        assert not blk["use_residual"]
+        y = y.astype(jnp.int16) & 255
     residual = y
     h, hstep = y, step
     float_handoff = False
@@ -113,6 +118,9 @@ def _block_fusable(blk, h: int, w: int) -> bool:
 
 def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
     """Close over the graph -> jittable ``images -> (ori, pos)``."""
+    from spef_tpu.quant.int8_pallas import assert_int8_grids
+
+    assert_int8_grids(graph, "build_fused_forward")
     blocks = graph["blocks"]
 
     def forward(images: jax.Array):
@@ -137,16 +145,22 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
                            out_packed=stem_packed)
             layout = True
         else:
-            from spef_tpu.quant.int8_carry import _conv_acc, _requant_int8
+            from spef_tpu.quant.int8_carry import _conv_acc
+            from spef_tpu.quant.int8_pallas import _bits_int8
 
             stem = graph["stem"]
             acc = _conv_acc(images, stem["w_int"], 2, 1)
             yf = jnp.maximum(acc * (stem["mult_core"] / 255.0) + stem["bias"], 0.0)
-            y = _requant_int8(yf, stem["act_step"], stem["act_qmax"])
+            q = jnp.clip(jnp.round(yf / stem["act_step"]), 0, stem["act_qmax"])
+            y = _bits_int8(q) if stem["act_qmax"] > 127.0 else q.astype(jnp.int8)
             layout = False
         h, w = hh // 2, ww // 2
         c = int(graph["stem"]["w_int"].shape[-1])
         step = graph["stem"]["act_step"]
+        # Unsigned 8-bit stem grid (boundary recipe): y carries uint8 BITS
+        # (fused_stem emits them; _bits_int8 above matches) — consumers
+        # decode via in_unsigned until the first requant/block clears it.
+        unsigned = float(graph["stem"]["act_qmax"]) > 127.0
 
         for i, blk in enumerate(blocks):
             # Producers emit on the consumer grid, so this requant only fires
@@ -154,12 +168,16 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
             # Elementwise on the layout tensor is fine: zeros stay zeros.
             if "shared_step" in blk and (blk["input_quant"] or blk["use_residual"]):
                 tgt = blk["shared_step"]
-                if abs(step - tgt) > 1e-12:
+                if abs(step - tgt) > 1e-12 or unsigned:
+                    from spef_tpu.quant.int8_pallas import _decode_unsigned_f32
+
                     ratio = step / tgt
                     qmax = blk["shared_qmax"]
-                    y = jnp.clip(jnp.round(y.astype(jnp.float32) * ratio),
+                    yf = (_decode_unsigned_f32(y) if unsigned
+                          else y.astype(jnp.float32))
+                    y = jnp.clip(jnp.round(yf * ratio),
                                  -qmax - 1, qmax).astype(jnp.int8)
-                step = tgt
+                step, unsigned = tgt, False
 
             out_grid = _consumer_grid(graph, i)
             shared = (_grid(blk["shared_step"], blk["shared_qmax"])
@@ -182,7 +200,7 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
                     layout = True
                 y = fused_mbconv(y, blk, in_step=step, out_grid=out_grid,
                                  shared_grid=shared, logical_hw=(h, w),
-                                 interpret=interpret,
+                                 interpret=interpret, in_unsigned=unsigned,
                                  in_packed=in_packed, out_packed=out_packed)
                 if blk["use_residual"]:
                     if out_grid is not None and abs(
@@ -197,7 +215,9 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
                     y = (unpad_act_packed(y, w, c) if c <= PACK_MAX_C
                          else unpad_act(y, w, c))
                     layout = False
-                y, step = _xla_block(y, blk, step, out_grid)
+                y, step = _xla_block(y, blk, step, out_grid,
+                                     in_unsigned=unsigned)
+            unsigned = False  # blocks emit on signed consumer grids
             h, w = h // stride, w // stride
             c = cout
 
@@ -214,11 +234,14 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
         # Head conv (1x1 at the final 1/32 resolution) + pooled int8 FCs —
         # tiny tensors; the conv-form XLA ops suffice here.
         hcnv = graph["head_conv"]
-        from spef_tpu.quant.int8_carry import _conv_acc, _requant_int8
+        from spef_tpu.quant.int8_carry import _conv_acc
+        from spef_tpu.quant.int8_pallas import _emit_unsigned
 
         acc = _conv_acc(y, hcnv["w_int"], 1, 1)
         yf = jnp.maximum(acc * (hcnv["mult_core"] * step) + hcnv["bias"], 0.0)
-        y = _requant_int8(yf, hcnv["act_step"], hcnv["act_qmax"])
+        # int16 when the grid is unsigned 8-bit (boundary recipe) — the only
+        # consumer is the f32 mean-pool below.
+        y = _emit_unsigned(yf, hcnv["act_step"], hcnv["act_qmax"])
         step = hcnv["act_step"]
 
         head = graph["head"]

@@ -30,23 +30,32 @@ __all__ = ["int8_forward", "build_int8_forward", "build_weight_only_forward"]
 
 
 def _to_int8(x: jax.Array, step: float) -> jax.Array:
-    """Float-on-grid -> int8 (exact for in-range grid values)."""
-    return jnp.round(x / step).astype(jnp.int8)
+    """Float-on-grid -> int32 (exact for every grid).
+
+    int32, not int8: unsigned 8-bit activation grids (qmax=255, e.g. the
+    w8a8 recipe) do not fit int8 — a cast would WRAP 128..255 to negatives
+    and silently corrupt the network (found on the w8a8 ladder: int8 ESA
+    0.61 vs QAT 0.17).  This executor is the accuracy/parity reference, so
+    it takes the exact-integer path; the deployment executors
+    (`int8_carry`, pallas/fused) keep int8 carries with a zero-point shift.
+    """
+    return jnp.round(x / step).astype(jnp.int32)
 
 
 def _matmul_1x1(x: jax.Array, layer: Dict[str, Any], in_step, relu: bool) -> jax.Array:
     """1x1 conv: (B,H,W,Cin) x (1,1,Cin,Cout) -> float (B,H,W,Cout).
 
     ``in_step`` is the input quantization grid; when known the matmul runs
-    int8 x int8 -> int32 on the MXU.  ``in_step=None`` (rare: non-grid float
-    input) falls back to a bf16 matmul on dequantized weights.
+    exact integer (int32) accumulation.  ``in_step=None`` (rare: non-grid
+    float input) falls back to a bf16 matmul on dequantized weights.
     """
     b, h, w, cin = x.shape
     w_int = layer["w_int"].reshape(layer["w_int"].shape[-2], layer["w_int"].shape[-1])
     if in_step is not None:
         x_int = _to_int8(x, in_step).reshape(-1, cin)
         acc = jax.lax.dot_general(
-            x_int, w_int, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            x_int, w_int.astype(jnp.int32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
         )
         y = acc.astype(jnp.float32) * (in_step * layer["mult_core"]) + layer["bias"]
     else:
@@ -62,17 +71,20 @@ def _matmul_1x1(x: jax.Array, layer: Dict[str, Any], in_step, relu: bool) -> jax
 
 
 def _conv_f32(x: jax.Array, layer: Dict[str, Any], relu: bool) -> jax.Array:
-    """Depthwise / spatial conv on integer-valued weights (bf16 compute).
+    """Depthwise / spatial conv on integer-valued weights (f32 compute).
 
     Input is real-valued (already on its grid); the per-out-channel
     ``mult_core`` dequantizes the integer weights in the epilogue.
+    f32, not bf16: on a fine activation grid (8-bit, qmax=255) bf16's
+    8-bit mantissa moves values by 2-3 grid steps, which defeats this
+    executor's role as the exact QAT-parity reference.
     """
-    w = layer["w_int"].astype(jnp.bfloat16)
+    w = layer["w_int"].astype(jnp.float32)
     k = w.shape[0]
     pad = (k - 1) // 2
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(
-        x.astype(jnp.bfloat16),
+        x.astype(jnp.float32),
         w,
         (layer["stride"], layer["stride"]),
         [(pad, pad), (pad, pad)],
@@ -155,7 +167,8 @@ def int8_forward(graph: Dict[str, Any], images: jax.Array):
 
     def fc(x_int, w_int, scale, bias):
         acc = jax.lax.dot_general(
-            x_int, w_int, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            x_int, w_int.astype(jnp.int32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
         )
         return acc.astype(jnp.float32) * (head["pool_step"] * scale) + bias
 

@@ -41,6 +41,61 @@ def _grid_params(step: float, qmax: float, signed: bool):
     return {"step": step, "qmax": qmax, "qmin": -qmax - 1 if signed else 0.0}
 
 
+def assert_int8_grids(graph: Dict[str, Any], executor: str) -> None:
+    """Refuse INTERIOR unsigned activation grids that do not fit int8.
+
+    The kernel executors carry block-interior activations as int8; an
+    unsigned 8-bit grid (qmax=255, e.g. the w8a8 recipe) would WRAP
+    128..255 to negatives and silently corrupt the network.  `int8_carry`
+    handles these grids with a zero-point shift; the kernels do not (yet)
+    — fail loudly instead of skewing accuracy (same policy as the r2
+    residual-saturation fix).  The stem and head_conv grids are exempt
+    (boundary recipe: 8-bit unsigned edges): the stem emits a uint8
+    bits-carry its consumers decode (``in_unsigned``), the head_conv
+    emits int16 straight into the f32 mean-pool.
+    """
+    offenders = []
+    for i, blk in enumerate(graph.get("blocks", ())):
+        for part in ("expand", "depthwise"):
+            entry = blk.get(part)
+            if entry is not None and entry.get("act_qmax", 0.0) > 127.0:
+                offenders.append(f"block_{i}/{part}")
+    if offenders:
+        raise NotImplementedError(
+            f"{executor}: unsigned act grids wider than int8 (qmax > 127) on "
+            f"{offenders}; use build_int8_carry_forward (zero-point carry) "
+            "or build_int8_forward (exact int32) for this recipe.")
+
+
+def _emit_unsigned(y: jax.Array, step: float, qmax: float) -> jax.Array:
+    """Round/clip to an unsigned grid; int8 when it fits, else int16.
+
+    int16, not a zero-point shift: used at the head_conv emit, whose only
+    consumer is the f32 mean-pool (astype is free to fuse), so carrying
+    the TRUE q avoids any bias bookkeeping for 2x the bytes of exactly
+    one tiny tensor.
+    """
+    dt = jnp.int8 if qmax <= 127.0 else jnp.int16
+    return jnp.clip(jnp.round(y / step), 0, qmax).astype(dt)
+
+
+def _bits_int8(q: jax.Array) -> jax.Array:
+    """Unsigned q in [0, 255] (f32) -> its uint8 BITS in an int8 container.
+
+    The int8 carry convention for unsigned 8-bit edges (boundary-recipe
+    stem): consumers decode ``x & 255`` (``in_unsigned`` flag on the carry
+    ops / fused kernels).  Zeros stay zeros, so halo columns and spatial
+    padding need no special casing — unlike a zero-point shift.
+    """
+    return jnp.where(q > 127.0, q - 256.0, q).astype(jnp.int8)
+
+
+def _decode_unsigned_f32(y: jax.Array) -> jax.Array:
+    """int8 bits-carry -> true unsigned q as f32 (exact)."""
+    yf = y.astype(jnp.float32)
+    return yf + 256.0 * (yf < 0)
+
+
 def build_pallas_forward(
     graph: Dict[str, Any], img_hw: Optional[tuple] = None, backend: str = "pallas"
 ):
@@ -55,6 +110,7 @@ def build_pallas_forward(
     latency matters and as the A/B baseline for the kernels).
     """
     assert backend in ("pallas", "xla")
+    assert_int8_grids(graph, f"build_pallas_forward[{backend}]")
     mm = int8_matmul_requant if backend == "pallas" else xla_matmul_requant
     dw = int8_depthwise3x3 if backend == "pallas" else xla_depthwise3x3
     blocks = graph["blocks"]
@@ -94,8 +150,10 @@ def build_pallas_forward(
         )
         y = jnp.maximum(y * stem["mult_core"] + stem["bias"], 0.0)
         step = stem["act_step"]
-        y = jnp.clip(jnp.round(y / step), 0, stem["act_qmax"]).astype(jnp.int8)
-        # y: int8 on `step` grid, NHWC.
+        q = jnp.clip(jnp.round(y / step), 0, stem["act_qmax"])
+        wide = stem["act_qmax"] > 127.0  # unsigned 8-bit edge: bits carry
+        y = _bits_int8(q) if wide else q.astype(jnp.int8)
+        # y: int8 on `step` grid, NHWC (uint8 bits when `wide`).
 
         for i, blk in enumerate(blocks):
             b, h, w, c = y.shape
@@ -103,12 +161,13 @@ def build_pallas_forward(
             # one and the producer didn't already emit on it).
             if "shared_step" in blk and (blk["input_quant"] or blk["use_residual"]):
                 tgt = blk["shared_step"]
-                if abs(step - tgt) > 1e-12:
+                if abs(step - tgt) > 1e-12 or wide:
                     ratio = step / tgt
                     qmax = blk["shared_qmax"]
-                    y = jnp.clip(jnp.round(y.astype(jnp.float32) * ratio),
+                    yf = _decode_unsigned_f32(y) if wide else y.astype(jnp.float32)
+                    y = jnp.clip(jnp.round(yf * ratio),
                                  -qmax - 1, qmax).astype(jnp.int8)
-                step = tgt
+                step, wide = tgt, False
 
             residual = y
             res_step = step
@@ -120,7 +179,10 @@ def build_pallas_forward(
                 e = blk["expand"]
                 m = b * h * w
                 has_grid = "act_step" in e
-                out = mm(
+                # A bits-carry (unsigned wide) input takes the XLA op, which
+                # decodes it; the Pallas kernel assumes true-q int8.
+                mm_e = xla_matmul_requant if wide else mm
+                out = mm_e(
                     hcur.reshape(m, c),
                     e["w_int"].reshape(e["w_int"].shape[-2], e["w_int"].shape[-1]),
                     e["mult_core"] * hstep, e["bias"],
@@ -128,7 +190,9 @@ def build_pallas_forward(
                     out_inv_step=float(1.0 / e["act_step"]) if has_grid else None,
                     out_qmax=float(e["act_qmax"]) if has_grid else 127.0,
                     out_qmin=0.0,
+                    **({"in_unsigned": True} if wide else {}),
                 )
+                wide = False  # interior grids are int8-safe (asserted)
                 hidden = e["w_int"].shape[-1]
                 hcur = out.reshape(b, h, w, hidden)
                 if has_grid:
@@ -147,8 +211,8 @@ def build_pallas_forward(
             dw_grid = "act_step" in d
             dw_inv = float(1.0 / d["act_step"]) if dw_grid else None
             dw_qmax = float(d["act_qmax"]) if dw_grid else 127.0
-            dw_fn = dw if (d["stride"] == 1 and not float_handoff and dw_grid) \
-                else xla_depthwise3x3
+            dw_fn = dw if (d["stride"] == 1 and not float_handoff and dw_grid
+                           and not wide) else xla_depthwise3x3
             if float_handoff:
                 # xla_depthwise3x3 accepts float input transparently.
                 hcur = xla_depthwise3x3(
@@ -161,7 +225,9 @@ def build_pallas_forward(
                     hcur, d["w_int"].reshape(3, 3, hc), d["mult_core"], d["bias"],
                     stride=d["stride"], in_step=float(hstep),
                     out_inv_step=dw_inv, out_qmax=dw_qmax,
+                    **({"in_unsigned": True} if wide else {}),
                 )
+                wide = False
             # Boundary-only recipe (no dw act grid): real values flow into
             # the projection, whose multiplier is then unscaled.
             hstep = d["act_step"] if dw_grid else 1.0
@@ -219,15 +285,22 @@ def build_pallas_forward(
 
         hcnv = graph["head_conv"]
         b2, h2, w2, c2 = y.shape
+        head_wide = hcnv["act_qmax"] > 127.0
         out = mm(
             y.reshape(b2 * h2 * w2, c2),
             hcnv["w_int"].reshape(hcnv["w_int"].shape[-2], hcnv["w_int"].shape[-1]),
             hcnv["mult_core"] * step, hcnv["bias"],
-            relu=True, out_inv_step=float(1.0 / hcnv["act_step"]),
+            relu=True,
+            # Unsigned 8-bit head grid (boundary recipe) does not fit the
+            # kernel's int8 emit: take f32 out and snap to the grid as int16
+            # in XLA — the only consumer is the f32 mean-pool below.
+            out_inv_step=None if head_wide else float(1.0 / hcnv["act_step"]),
             out_qmax=float(hcnv["act_qmax"]), out_qmin=0.0,
         )
         cout = hcnv["w_int"].shape[-1]
         y = out.reshape(b2, h2, w2, cout)
+        if head_wide:
+            y = _emit_unsigned(y, hcnv["act_step"], hcnv["act_qmax"])
         step = hcnv["act_step"]
 
         # Head: pool (int sum -> float mean) + pool quant + int8 FC branches.

@@ -111,6 +111,68 @@ class TestCarry:
         assert report["pos_raw"]["cosine"] > 0.999, report
 
 
+class TestW8A8ZeroPoint:
+    """Unsigned 8-bit activation grids (qmax=255) do not fit int8: the
+    executors must not wrap 128..255 to negatives (found on the w8a8
+    ladder: int8 test ESA 0.61 vs QAT 0.17).  int8_model takes the exact
+    int32 path; int8_carry stores q-128 with the colsum bias fold."""
+
+    @pytest.fixture(scope="class")
+    def w8a8_model(self):
+        bw = default_bit_width(n_blocks=2, w=8, a=8, shared=8)
+        bw["inverted_residual"][0] = [(8, 8), (8, 8), (8,)]
+        model = import_model(
+            backbone_name="small_mobile_q", head_name="ursonet_q",
+            img_size=(48, 64), bit_width=bw, ori_mode="classification",
+            n_ori_bins=64, pos_mode="regression", seed=3,
+        )
+        # Shrink every learned activation range so activations SATURATE the
+        # upper half of the unsigned grid (q in 128..255) — the regime the
+        # int8 wrap corrupted.  log2(0.25): range 0.25 vs O(0.1-1) acts.
+        model.variables = jax.tree_util.tree_map_with_path(
+            lambda path, v: jnp.full_like(v, np.log2(0.25))
+            if path and getattr(path[-1], "key", None) == "log2_scale" else v,
+            model.variables,
+        )
+        return model
+
+    def test_grids_exercise_upper_half(self, w8a8_model):
+        graph = convert_qat_params(w8a8_model)
+        assert graph["stem"]["act_qmax"] == 255.0
+        images = _rand_images((4, 48, 64, 3), seed=7).astype(jnp.float32) / 255.0
+        out = w8a8_model.apply(images, False)  # sanity: QAT forward runs
+        assert np.isfinite(np.asarray(out[0])).all()
+
+    def test_int8_model_matches_qat(self, w8a8_model):
+        graph = convert_qat_params(w8a8_model)
+        images = _rand_images((4, 48, 64, 3), seed=8)
+        qat_out = w8a8_model.apply(images.astype(jnp.float32) / 255.0, False)
+        int8_out = jax.jit(build_int8_forward(graph))(images)
+        m = compare_tensors(qat_out[0], int8_out[0])
+        assert m["cosine"] > 0.9999, m
+
+    def test_carry_zero_point_matches_int8_model(self, w8a8_model):
+        from spef_tpu.quant.int8_carry import build_int8_carry_forward
+
+        graph = convert_qat_params(w8a8_model)
+        images = _rand_images((4, 48, 64, 3), seed=9)
+        ref = jax.jit(build_int8_forward(graph))(images)
+        carry = jax.jit(build_int8_carry_forward(graph))(images)
+        for r, c in zip(ref, carry):
+            m = compare_tensors(r, c)
+            assert m["cosine"] > 0.9999, m
+
+    def test_kernel_executors_refuse_wide_unsigned_grids(self, w8a8_model):
+        from spef_tpu.quant.int8_fused import build_fused_forward
+        from spef_tpu.quant.int8_pallas import build_pallas_forward
+
+        graph = convert_qat_params(w8a8_model)
+        with pytest.raises(NotImplementedError, match="qmax > 127"):
+            build_pallas_forward(graph)
+        with pytest.raises(NotImplementedError, match="qmax > 127"):
+            build_fused_forward(graph)
+
+
 class TestWeightOnly:
     def test_weight_only_close_to_qat(self, qat_model):
         """Weight-only bf16 deployment stays close to the QAT network (act
