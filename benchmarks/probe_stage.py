@@ -97,7 +97,12 @@ def main():
         x = pad(jnp.asarray(
             rng.randint(-8, 8, (args.batch, h, w, cin)).astype(np.int8)))
         grid = {"step": 0.06, "qmax": 127.0, "qmin": -128.0}
-        row = {}
+        # Roofline floor: logical in+out bytes at the measured ~810 GB/s HBM
+        # stream (hidden tensors stay in VMEM; weights are negligible).  The
+        # done-criterion for the packed kernels is dma <= ~2x floor_ms.
+        logical_bytes = args.batch * (h * w * cin + (h // stride) * (w // stride) * cout)
+        row = {"floor_ms": round(logical_bytes / 810e9 * 1e3, 3),
+               "layout_in_mb": round(x.nbytes / 1e6, 1)}
         for stage in ("dma", "expand", "dw", "full"):
             try:
                 ms = _time_fn(
