@@ -181,3 +181,37 @@ def test_boundary_block_matches_xla_on_chip():
     b, _ = _xla_block(x, blk, 0.05, out_grid)
     d = np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32))
     assert d.max() <= 1, d.max()  # f32-vs-bf16 interior: requant ties only
+
+
+@requires_tpu
+def test_exported_artifact_runs_on_chip(tmp_path):
+    """AOT deployment artifact (spef_tpu/deploy.py): a tpu+cpu jax.export
+    of the predict pipeline must load and execute on the real chip and
+    match the live engine (the FINN-deploy / TVM-lib.tar parity check,
+    `src/finn/spe_finn.py:92-151`)."""
+    from spef_tpu.codec.facade import SPEUtils
+    from spef_tpu.data.camera import DSPEED_CAMERA
+    from spef_tpu.deploy import export_predict, load_exported
+    from spef_tpu.engine import SPEJax, build_predict_fn
+    from spef_tpu.models.wrapper import import_model
+
+    spe_utils = SPEUtils.create(
+        DSPEED_CAMERA, ori_mode="classification", n_ori_bins_per_dim=4,
+        pos_mode="classification", n_pos_bins_per_dim=4,
+    )
+    model = import_model(
+        backbone_name="small_mobile", head_name="ursonet", img_size=(32, 48),
+        ori_mode="classification", n_ori_bins=spe_utils.orientation.n_bins,
+        pos_mode="classification", n_pos_bins=spe_utils.position.n_bins, seed=5,
+    )
+    path = str(tmp_path / "model.spef")
+    export_predict(build_predict_fn(model, spe_utils), batch=2,
+                   img_size=(32, 48), out_path=path, platforms=("tpu", "cpu"))
+    images = np.random.RandomState(9).randint(0, 256, (2, 32, 48, 3),
+                                              dtype=np.uint8)
+    pose, ms = load_exported(path).predict(images)
+    live, _ = SPEJax(model, spe_utils).predict(images)
+    assert ms > 0
+    for k in live:
+        np.testing.assert_allclose(np.asarray(pose[k]), np.asarray(live[k]),
+                                    rtol=1e-4, atol=1e-4, err_msg=k)
