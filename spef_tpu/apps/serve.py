@@ -11,6 +11,11 @@ Usage:
     python -m spef_tpu.apps.serve --experiment experiments/train/exp_x \
         [--int8-graph experiments/build/exp_x/int8_graph.pkl] \
         [--batch 256] [--selftest-frames 2048] [--frames-dir path/]
+    python -m spef_tpu.apps.serve --artifact model.spef \
+        [--selftest-frames 2048] [--frames-dir path/]
+
+An ``--artifact`` (.spef from apps/export.py) serves the AOT-compiled
+program directly — no experiment dir, model code, or weight files needed.
 """
 
 from __future__ import annotations
@@ -35,13 +40,29 @@ def main(argv=None):
     from spef_tpu.serving import PoseServer
 
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--experiment", required=True)
+    parser.add_argument("--experiment", default=None)
+    parser.add_argument("--artifact", default=None,
+                        help=".spef deploy artifact (apps/export.py); replaces --experiment")
     parser.add_argument("--int8-graph", default=None, help="int8_graph.pkl from build_int8")
     parser.add_argument("--int8-backend", default="xla", choices=["xla", "pallas"])
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--selftest-frames", type=int, default=2048)
     parser.add_argument("--frames-dir", default=None, help="serve real frames from here")
     args = parser.parse_args(argv)
+    if bool(args.experiment) == bool(args.artifact):
+        parser.error("exactly one of --experiment / --artifact is required")
+
+    if args.artifact:
+        from spef_tpu.deploy import load_exported
+
+        engine = load_exported(args.artifact)
+        img_size = tuple(engine.meta["img_size"])
+        args.batch = engine.batch
+        server = engine  # ExportedEngine duck-types PoseServer.predict
+        print(f"Serving AOT artifact {args.artifact} "
+              f"(variant={engine.meta.get('variant')}, window={engine.batch}x{img_size})")
+        _run_requests(args, server, img_size)
+        return
 
     cfg = load_config(os.path.join(args.experiment, "config.yaml"))
     camera = load_camera(cfg.DATA.PATH) if os.path.exists(cfg.DATA.PATH) else None
@@ -93,6 +114,14 @@ def main(argv=None):
     compile_s = server.warmup()
     print(f"Ready in {compile_s:.1f}s on {server.stats()['devices']} device(s)")
 
+    _run_requests(args, server, img_size)
+
+
+def _run_requests(args, server, img_size):
+    import time
+
+    import numpy as np
+
     if args.frames_dir:
         paths = sorted(
             glob.glob(os.path.join(args.frames_dir, "*.png"))
@@ -112,7 +141,8 @@ def main(argv=None):
             for p, q, t in zip(chunk, pose["ori"], pose["pos"]):
                 print(f"{os.path.basename(p)}: q={np.round(q, 4).tolist()} "
                       f"t={np.round(t, 3).tolist()}")
-        print(f"latency stats: {server.stats()}")
+        if hasattr(server, "stats"):
+            print(f"latency stats: {server.stats()}")
         return
 
     # Self-test: synthetic frames, sustained throughput.
@@ -123,8 +153,9 @@ def main(argv=None):
     for _ in range(n_batches):
         server.predict(frames)
     dt = time.perf_counter() - t0
-    print(f"selftest: {n_batches * args.batch / dt:.1f} frames/s sustained "
-          f"(request latency {server.stats()['p50_ms']:.1f} ms p50)")
+    p50 = (f", request latency {server.stats()['p50_ms']:.1f} ms p50"
+           if hasattr(server, "stats") else "")
+    print(f"selftest: {n_batches * args.batch / dt:.1f} frames/s sustained{p50}")
 
 
 if __name__ == "__main__":

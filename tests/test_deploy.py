@@ -171,3 +171,17 @@ def test_exported_artifact_loads_in_fresh_process(float_setup, tmp_path):
                          capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "FRESH_OK" in res.stdout
+
+
+def test_serve_cli_artifact_selftest(float_setup, tmp_path, capsys):
+    """The serve CLI's --artifact mode runs requests straight off a .spef
+    deploy artifact (no experiment dir / model code)."""
+    from spef_tpu.apps.serve import main as serve_main
+
+    model, spe_utils = float_setup
+    path = str(tmp_path / "model.spef")
+    export_predict(build_predict_fn(model, spe_utils), batch=4, img_size=(32, 48),
+                   out_path=path, platforms=("cpu",))
+    serve_main(["--artifact", path, "--selftest-frames", "8"])
+    out = capsys.readouterr().out
+    assert "Serving AOT artifact" in out and "frames/s sustained" in out
