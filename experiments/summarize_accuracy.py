@@ -133,6 +133,41 @@ def main(exp_dir, suite_dir, out_path=None):
             "(`src/temporal/inference.py:38-39`).",
         ]
 
+    tun = _load(os.path.join(suite_dir, "temporal_tuning.json"))
+    if tun:
+        lines += [
+            "", "### Domain-tuned filter constants", "",
+            "The constants above are the reference's, fitted on its real-SPEED",
+            "domain (`src/temporal/inference.py:38-39`). Re-fitting (n, alpha,",
+            "metric) on this synthetic-D-SPEED domain (`experiments/",
+            "tune_temporal.py`: traced-parameter grid vmapped over the whole",
+            f"(n, alpha) grid; tuned on {len(tun['tune_split'])} scenarios, "
+            f"validated on {len(tun['holdout_split'])} held-out ones):",
+            "",
+            "| Head | metric | n | alpha | reference (n, alpha) |",
+            "|---|---|---|---|---|",
+        ]
+        for kind in ("ori", "pos"):
+            b = tun[kind]["best"]
+            d = tun[kind]["default"]
+            lines.append(
+                f"| {kind} | {tun[kind]['best_metric']} | {b['n']:.2f} |"
+                f" {b['alpha']:.2f} | {d['distance_metric']}, {d['n']:.2f},"
+                f" {d['alpha']:.2f} |")
+        esa = tun["esa"]
+        lines += [
+            "",
+            "| ESA (mean) | still | reference constants | domain-tuned |",
+            "|---|---|---|---|",
+            f"| held-out scenarios | {_fmt(esa['still']['holdout_mean'])} |"
+            f" {_fmt(esa['default']['holdout_mean'])} |"
+            f" {_fmt(esa['tuned']['holdout_mean'])} |",
+            f"| all {len(tun['scenarios'])} scenarios |"
+            f" {_fmt(esa['still']['all_mean'])} |"
+            f" {_fmt(esa['default']['all_mean'])} |"
+            f" {_fmt(esa['tuned']['all_mean'])} |",
+        ]
+
     kp = _load(os.path.join(os.path.dirname(exp_dir.rstrip("/")),
                             "exp_keypoints_synth", "score_error.json"))
     if kp:

@@ -173,3 +173,33 @@ class TestMultiSequence:
                                        np.asarray(single["pos_still"]), atol=2e-3)
             np.testing.assert_allclose(np.asarray(multi["ori_distance"][i]),
                                        np.asarray(single["ori_distance"]), atol=1e-4)
+
+
+class TestTuneTemporalHarness:
+    """The tuning harness (experiments/tune_temporal.py) must apply exactly
+    the production filter: traced-(n, alpha) emit == scan_filter @ proj."""
+
+    def test_filter_emit_matches_scan_filter(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "tune_temporal",
+            os.path.join(os.path.dirname(__file__), "..", "experiments", "tune_temporal.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        pdfs = jnp.asarray(random_pdfs(t=30, n=40, seed=3))
+        proj = jnp.asarray(np.random.RandomState(4).randn(40, 5).astype(np.float32))
+        for metric in ("l2", "js", "hellinger", "tv"):
+            want, _ = scan_filter(pdfs, 0.7, 23.0, metric)
+            got = mod._filter_emit(pdfs, jnp.float32(0.7), jnp.float32(23.0), metric, proj)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want @ proj),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_identity_config_is_unfiltered(self):
+        """alpha=0, n=1 must reproduce the per-frame (still) trajectory."""
+        pdfs = jnp.asarray(random_pdfs(t=15, n=24, seed=5))
+        filt, _ = scan_filter(pdfs, 1.0, 0.0, "l2")
+        np.testing.assert_allclose(np.asarray(filt), np.asarray(pdfs), rtol=1e-5, atol=1e-6)
