@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def evaluate_sequence(spe_utils, forward_fn, loader, filter_video=True):
+def evaluate_sequence(spe_utils, forward_fn, loader, filter_video=True,
+                      **filter_kwargs):
     """Run one sequence; returns (results dict, truth dict, metrics dict)."""
     from spef_tpu.pose.rotations import quat2euler
     from spef_tpu.pose.score import score_batch
@@ -41,7 +42,7 @@ def evaluate_sequence(spe_utils, forward_fn, loader, filter_video=True):
     truth = {"ori": np.concatenate(oris), "pos": np.concatenate(poss)}
 
     res = sequence_inference(spe_utils, forward_fn, jnp.asarray(frames),
-                             filter_video=filter_video)
+                             filter_video=filter_video, **filter_kwargs)
 
     metrics = {}
     still = score_batch(jnp.asarray(truth["ori"]), jnp.asarray(truth["pos"]),
@@ -63,7 +64,7 @@ def evaluate_sequence(spe_utils, forward_fn, loader, filter_video=True):
 
 
 def run_batched_sequences(spe_utils, forward_fn, data, seq_names, out_dir,
-                          filter_video=True, plots=False):
+                          filter_video=True, plots=False, **filter_kwargs):
     """All equal-length sequences through one vmapped program."""
     import json as _json
 
@@ -87,7 +88,7 @@ def run_batched_sequences(spe_utils, forward_fn, data, seq_names, out_dir,
     seqs = np.stack([f[:t_min] for f in frames_all])
 
     res = multi_sequence_inference(spe_utils, forward_fn, jnp.asarray(seqs),
-                                   filter_video=filter_video)
+                                   filter_video=filter_video, **filter_kwargs)
     from spef_tpu.temporal.report import (
         sequence_figures,
         sequence_metrics,
@@ -157,7 +158,24 @@ def main(argv=None):
     parser.add_argument("--batch-sequences", action="store_true",
                         help="fuse equal-length sequences into one vmapped program")
     parser.add_argument("--out", default=None)
+    parser.add_argument("--filter-constants", default=None,
+                        help="JSON with domain-tuned filter constants (the "
+                             "output of experiments/tune_temporal.py); "
+                             "overrides the built-in reference constants")
     args = parser.parse_args(argv)
+
+    filter_overrides = {}
+    if args.filter_constants:
+        with open(args.filter_constants) as f:
+            tuned = json.load(f)
+        for kind in ("ori", "pos"):
+            best = tuned[kind]["best"]
+            filter_overrides[f"{kind}_filter"] = {
+                "n": best["n"], "alpha": best["alpha"],
+                "distance_metric": tuned[kind]["best_metric"],
+            }
+        print(f"filter constants from {args.filter_constants}: "
+              + ", ".join(f"{k}={v}" for k, v in filter_overrides.items()))
 
     set_seed(1001)
     cfg = load_config(os.path.join(args.experiment, "config.yaml"))
@@ -202,7 +220,8 @@ def main(argv=None):
         # Equal-length sequences (the 11x1500 D-SPEED set): one fused
         # multi-sequence program (vmapped scan) instead of a serial loop.
         run_batched_sequences(spe_utils, forward_fn, data, split["eval"], out_dir,
-                              filter_video=not args.no_filter, plots=args.plots)
+                              filter_video=not args.no_filter, plots=args.plots,
+                              **filter_overrides)
         return
 
     from spef_tpu.temporal.report import (
@@ -214,7 +233,8 @@ def main(argv=None):
     books = {"still": {}, "video": {}, "dist": {}}
     for seq in split["eval"]:
         res, truth, metrics = evaluate_sequence(
-            spe_utils, forward_fn, data[seq], filter_video=not args.no_filter
+            spe_utils, forward_fn, data[seq], filter_video=not args.no_filter,
+            **filter_overrides
         )
         summary[seq] = {k: metrics[k] for k in ("still", "video") if k in metrics}
         still = metrics["still"]["esa_score"]

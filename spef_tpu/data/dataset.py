@@ -490,9 +490,24 @@ def load_dataset(
         return import_speed_plus(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
     if "dspeed" in path and name == "still":
         return import_dspeed(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
-    if "dspeed" in path and name == "video":
+    if name == "video":
         return import_dspeed_video(path, batch_size, img_size)
-    # Fallback: any directory holding pose.json splits behaves like dspeed-still.
+    # Fallback: any directory holding a train/ pose.json split behaves like
+    # dspeed-still; otherwise per-sequence dirs each with their own pose.json
+    # (the video layout) dispatch to the video importer, however the root is
+    # named.
     if os.path.isdir(os.path.join(path, "train")):
         return import_dspeed(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
+    if _looks_like_video_root(path):
+        return import_dspeed_video(path, batch_size, img_size)
     raise ValueError(f"Dataset {name} not implemented")
+
+
+def _looks_like_video_root(path: str) -> bool:
+    """True if ``path`` holds per-sequence dirs each with its own pose.json
+    (the D-SPEED video layout), regardless of how the root is named."""
+    subdirs = [d for d in sorted(os.listdir(path))
+               if os.path.isdir(os.path.join(path, d))]
+    return bool(subdirs) and all(
+        os.path.isfile(os.path.join(path, d, "pose.json")) for d in subdirs
+    )

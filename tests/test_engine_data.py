@@ -192,3 +192,40 @@ class TestStreamingInference:
         inf = Inference(SPEJax(model, spe), spe)
         with pytest.raises(ValueError):
             inf.predict(np.zeros((1, 32, 32, 3), np.uint8), "Kalmann")
+
+
+class TestVideoRootDispatch:
+    """load_dataset recognizes the video layout without 'dspeed' in the path
+    (per-sequence dirs each holding pose.json)."""
+
+    def test_looks_like_video_root(self, tmp_path):
+        from spef_tpu.data.dataset import _looks_like_video_root
+
+        for seq in ("seq_a", "seq_b"):
+            d = tmp_path / seq
+            d.mkdir()
+            (d / "pose.json").write_text("[]")
+        assert _looks_like_video_root(str(tmp_path))
+
+    def test_dispatch_priority(self, tmp_path, monkeypatch):
+        """A still layout (train/ present) routes to the still importer even
+        though its subdirs also each hold a pose.json; a sequence layout
+        without train/ routes to the video importer."""
+        import spef_tpu.data.dataset as ds
+
+        monkeypatch.setattr(ds, "import_dspeed", lambda *a, **k: "still")
+        monkeypatch.setattr(ds, "import_dspeed_video", lambda *a, **k: "video")
+
+        still_root = tmp_path / "my_set"
+        for split in ("train", "valid"):
+            d = still_root / split
+            d.mkdir(parents=True)
+            (d / "pose.json").write_text("[]")
+        assert ds.load_dataset(str(still_root)) == "still"
+
+        video_root = tmp_path / "my_sequences"
+        for seq in ("seq_a", "seq_b"):
+            d = video_root / seq
+            d.mkdir(parents=True)
+            (d / "pose.json").write_text("[]")
+        assert ds.load_dataset(str(video_root)) == "video"
