@@ -165,6 +165,7 @@ def create_synthetic_video(
     seed: int = 7,
     camera: Camera = DSPEED_CAMERA,
     omega_deg: float = 2.0,
+    seq_name: str = "seq_000",
 ) -> str:
     """Write one constant-rate tumble sequence in D-SPEED video layout."""
     import cv2
@@ -174,7 +175,7 @@ def create_synthetic_video(
 
     rng = np.random.RandomState(seed)
     video = os.path.join(root, "video")
-    seq_dir = os.path.join(video, "seq_000", "images")
+    seq_dir = os.path.join(video, seq_name, "images")
     os.makedirs(seq_dir, exist_ok=True)
 
     q, pos = generate_positions(rng, 1, camera)
@@ -187,6 +188,6 @@ def create_synthetic_video(
         cv2.imwrite(os.path.join(seq_dir, fname), frame)
         labels.append({"filename": fname, "q": q.tolist(), "t": pos.tolist()})
         q = np.asarray(multiply_quaternions(jnp.asarray(dq), jnp.asarray(q)))
-    with open(os.path.join(video, "seq_000", "pose.json"), "w") as f:
+    with open(os.path.join(video, seq_name, "pose.json"), "w") as f:
         json.dump(labels, f)
     return video

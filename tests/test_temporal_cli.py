@@ -91,3 +91,31 @@ def test_temporal_eval_cli_filter_constants(video_exp, tmp_path):
     # is small, but identical constants would be bitwise-equal).
     assert over["still"]["esa_score"] == pytest.approx(base["still"]["esa_score"], abs=1e-6)
     assert abs(over["video"]["esa_score"] - base["video"]["esa_score"]) > 1e-9
+
+
+def test_batch_sequences_matches_per_sequence(video_exp, tmp_path):
+    """--batch-sequences (vmapped multi-sequence program) must produce the
+    same still/video metrics as the per-sequence path."""
+    from spef_tpu.apps.temporal_eval import main as temporal_main
+
+    exp_dir, video_root = video_exp
+    # Second equal-length sequence alongside seq_000.
+    root = os.path.dirname(video_root.rstrip("/"))
+    create_synthetic_video(root, n_frames=24, img_size=(64, 96), seed=11,
+                           seq_name="seq_001")
+
+    out_serial = str(tmp_path / "serial")
+    out_batched = str(tmp_path / "batched")
+    temporal_main(["--experiment", exp_dir, "--data", video_root, "--out", out_serial])
+    temporal_main(["--experiment", exp_dir, "--data", video_root, "--out", out_batched,
+                   "--batch-sequences"])
+
+    with open(os.path.join(out_serial, "temporal_metrics.json")) as f:
+        serial = json.load(f)
+    with open(os.path.join(out_batched, "temporal_metrics.json")) as f:
+        batched = json.load(f)
+    assert set(serial) == set(batched) == {"seq_000", "seq_001"}
+    for seq in serial:
+        for mode in ("still", "video"):
+            assert batched[seq][mode]["esa_score"] == pytest.approx(
+                serial[seq][mode]["esa_score"], rel=1e-4, abs=1e-5)
