@@ -54,4 +54,8 @@ timeout 21600 python experiments/bitwidth_sweep.py \
     --experiment "$EXP" --qat-epochs 3 --out experiments/bitwidth_sweep \
     2>&1 | tee experiments/bitwidth_sweep.log | tail -20
 
+echo "== 5. Regenerate ACCURACY.md from all suite outputs =="
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python experiments/summarize_accuracy.py "$EXP" "$OUT" \
+    2>&1 | tail -3
+
 echo "R3 queue2 complete"
