@@ -258,8 +258,11 @@ def render_images(folder: str, oris, poss, camera, img_size=(1200, 1920)) -> Non
         cv2.imwrite(os.path.join(img_dir, f"img{i:06d}.png"), frame)
 
 
-def make_figures(folder: str, oris: np.ndarray, poss: np.ndarray, title: str) -> None:
-    """Trajectory figures (reference `src/create_dspeed/create_figures.py`)."""
+def make_figures(folder: str, oris: np.ndarray, poss: np.ndarray, title: str,
+                 still: bool = False) -> None:
+    """Dataset figures (reference `src/create_dspeed/create_figures.py`):
+    distribution histograms for the still set (`create_figures_still`),
+    trajectory traces for video sequences (`create_figures_video`)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -270,6 +273,20 @@ def make_figures(folder: str, oris: np.ndarray, poss: np.ndarray, title: str) ->
     from spef_tpu.pose.rotations import quat2euler
 
     euler = np.asarray(quat2euler(jnp.asarray(oris)))
+    if still:
+        # Still set: per-axis attitude histograms + distance histogram.
+        fig, axes = plt.subplots(2, 2, figsize=(11, 8))
+        for ax, i, name in zip(axes.flat, range(3), ("yaw (Z)", "pitch (Y)", "roll (X)")):
+            ax.hist(euler[:, i], bins=36)
+            ax.set_xlabel(f"{name} rotation [deg]")
+            ax.set_ylabel("images")
+        axes.flat[3].hist(np.linalg.norm(poss, axis=-1), bins=36)
+        axes.flat[3].set_xlabel("satellite distance [m]")
+        axes.flat[3].set_ylabel("images")
+        fig.suptitle(title)
+        fig.savefig(os.path.join(folder, "distributions.png"), dpi=100)
+        plt.close(fig)
+        return
     fig, axes = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
     for i, name in enumerate(["yaw", "pitch", "roll"]):
         axes[0].plot(euler[:, i], label=name, lw=1)
@@ -314,7 +331,7 @@ def main(argv=None):
         folder = os.path.join(args.out, "still")
         write_labels(folder, oris, poss, args.reference_format)
         if args.figures:
-            make_figures(folder, oris, poss, "still")
+            make_figures(folder, oris, poss, "still", still=True)
         if args.render:
             render_images(folder, oris, poss, camera, img_size)
         print(f"still: {len(oris)} poses -> {folder}")

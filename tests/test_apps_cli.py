@@ -51,11 +51,14 @@ def test_create_dspeed_cli(tmp_path):
     from spef_tpu.apps.create_dspeed import main
 
     main(["--out", str(tmp_path), "--n-still", "4", "--n-frames", "10",
-          "--scenarios", "S", "Docking"])
+          "--scenarios", "S", "Docking", "--figures"])
     assert (tmp_path / "still" / "pose.json").exists()
     labels = json.load(open(tmp_path / "Docking" / "pose.json"))
     assert len(labels) == 11
     assert set(labels[0]) == {"filename", "q", "t"}
+    # Figure suite: distribution histograms (still) + trajectory (video).
+    assert (tmp_path / "still" / "distributions.png").exists()
+    assert (tmp_path / "Docking" / "trajectory.png").exists()
 
 
 def test_make_speed_split_cli(tmp_path):
