@@ -82,3 +82,44 @@ def test_executors_agree_across_sweep_families(family):
     report = predict_and_compare(qat_fwd, f_ref, images)
     assert report["ori_raw"]["cosine"] > 0.999, (family, report)
     assert report["pos_raw"]["cosine"] > 0.999, (family, report)
+
+
+def _fused_family(name):
+    """Like _family but on an a4 base: the fused Pallas executor refuses
+    unsigned act grids wider than int8 (qmax > 127, see int8_pallas.py
+    assert_int8_grids) — w8a8 recipes route to carry/int8_model instead."""
+    bw = default_bit_width(n_blocks=2, w=8, a=4, shared=4)
+    bw["inverted_residual"] = [[(8, 4), (8, 4), (8,)] for _ in range(2)]
+    if name == "dw_w1":
+        bw["inverted_residual"] = [[(8, 4), (1, 4), (8,)] for _ in range(2)]
+    elif name == "expand_a3":
+        bw["inverted_residual"] = [[(8, 3), (8, 4), (8,)] for _ in range(2)]
+    elif name == "one_block_mixed":
+        bw["inverted_residual"] = [[(8, 3), (1, 4), (2,)], [(8, 4), (8, 4), (8,)]]
+    return bw
+
+
+@pytest.mark.parametrize("family", ["dw_w1", "expand_a3", "one_block_mixed"])
+def test_fused_executor_agrees_on_special_families(family):
+    """The fused-block Pallas pipeline (interpret mode) must match the
+    readable int8 executor on the sweep's special low-bit families too —
+    this is the executor the deployment benchmarks run."""
+    from spef_tpu.quant.int8_fused import build_fused_forward
+
+    bw = _fused_family(family)
+    model = import_model(
+        backbone_name="small_mobile_q", head_name="ursonet_q", img_size=(48, 64),
+        bit_width=bw, ori_mode="classification", n_ori_bins=64, pos_mode="regression",
+        seed=7,
+    )
+    graph = convert_qat_params(model, bw)
+    f_ref = jax.jit(build_int8_forward(graph))
+    f_fused = build_fused_forward(graph, interpret=True)
+    images = _images()
+
+    o1, p1 = f_ref(images)
+    o2, p2 = f_fused(images)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5,
+                               err_msg=f"fused != int8_model for {family}")
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5,
+                               err_msg=f"fused != int8_model for {family}")
