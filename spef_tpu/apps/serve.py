@@ -82,13 +82,31 @@ def main(argv=None):
     )
     img_size = tuple(cfg.DATA.IMG_SIZE)
 
+    # QAT checkpoints (bit_width.json alongside the weights) belong to the
+    # quantized module variants — map names to their `_q` forms, same rule
+    # as apps/export.py.
+    bw_path = os.path.join(args.experiment, "model", "bit_width.json")
+    bit_width = None
+    backbone_name, head_name = cfg.MODEL.BACKBONE.NAME, cfg.MODEL.HEAD.NAME
+    if os.path.isfile(bw_path):
+        from spef_tpu.quant.bitwidth import load_bit_width
+
+        bit_width = load_bit_width(bw_path)
+
+        def q_name(name):
+            name = name.replace("_pytorch", "").replace("_brevitas", "")
+            return name if name.endswith("_q") else name + "_q"
+
+        backbone_name, head_name = q_name(backbone_name), q_name(head_name)
+
     model = import_model(
-        backbone_name=cfg.MODEL.BACKBONE.NAME,
-        head_name=cfg.MODEL.HEAD.NAME,
+        backbone_name=backbone_name,
+        head_name=head_name,
         img_size=img_size,
         params_path=os.path.join(args.experiment, "model", "parameters.msgpack"),
+        bit_width=bit_width,
         residual=cfg.MODEL.BACKBONE.RESIDUAL,
-        quantization=cfg.MODEL.QUANTIZATION,
+        quantization=cfg.MODEL.QUANTIZATION or bit_width is not None,
         ori_mode=cfg.MODEL.HEAD.ORI,
         n_ori_bins=spe_utils.orientation.n_bins,
         pos_mode=cfg.MODEL.HEAD.POS,
