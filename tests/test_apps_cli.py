@@ -92,3 +92,16 @@ def test_generate_bitwidth_experiments_cli(tmp_path):
     first = sorted(exps.values(), key=lambda e: e["config"])[0]
     bw = load_bit_width(first["bit_width"])
     assert len(bw["inverted_residual"]) == 2
+
+
+def test_benchmark_cli(tmp_path):
+    """Throughput harness smoke: float + forward paths, JSON output
+    (the reference's per-target latency harnesses, SURVEY §5)."""
+    from spef_tpu.apps.benchmark import main
+
+    out = tmp_path / "bench.json"
+    main(["--paths", "float", "forward", "--batch", "8", "--img", "64", "96",
+          "--iters", "2", "--json", str(out)])
+    payload = json.load(open(out))
+    assert payload["float"]["items_per_sec"] > 0
+    assert payload["forward"]["items_per_sec"] > 0
