@@ -831,8 +831,7 @@ def fused_mbconv(
 
 
 def _stem_kernel(xs_hbm, w_ref, m_ref, b_ref, out_ref, slab, sem, *,
-                 Hs, Ws, Ws2, Wso2, Cout, Cop, tile_oh, inv_a, qmax_a, n_tiles,
-                 out_packed=False):
+                 Hs, Ws, Ws2, Wso2, Cout, Cop, tile_oh, inv_a, qmax_a, n_tiles):
     """Space-to-depth makes the 3x3/s2 conv a 2x2/s1 conv over 12 channels
     (zero-padded to 128 lanes; some taps structurally zero): 4 shifted K=128
     matmuls.  Halo is top/left one pixel; col halo is materialized zeros in
@@ -891,13 +890,77 @@ def _stem_kernel(xs_hbm, w_ref, m_ref, b_ref, out_ref, slab, sem, *,
         # bit pattern); consumers decode via in_unsigned.  Zeros (halo)
         # stay zeros, so the layout invariants are untouched.
         q = jnp.where(q > 127.0, q - 256.0, q)
-    if out_packed:
-        full = jnp.pad(q.reshape(1, th, Ws, Cop).astype(jnp.int8),
-                       ((0, 0), (0, 0), (1, Wso2 - Ws - 1), (0, 0)))
-        out_ref[:] = full.reshape(1, th, Wso2 // 4, 128)
-    else:
-        _store_with_halo(out_ref, q.reshape(1, th, Ws, Cop).astype(jnp.int8),
-                         1, th, Ws, Wso2, Cop)
+    _store_with_halo(out_ref, q.reshape(1, th, Ws, Cop).astype(jnp.int8),
+                     1, th, Ws, Wso2, Cop)
+
+
+def _stem_pm_kernel(xs_hbm, w_ref, m_ref, b_ref, out_ref, slab, sem, *,
+                    Hs, Ws, G, tile_oh, inv_a, qmax_a, n_tiles):
+    """Phase-major packed stem: the s2d image arrives phase-packed with the
+    left-neighbor column's channels alongside (column 4g+p at lanes
+    [32p, 32p+32): chans 0-11 = that column, 12-23 = column 4g+p-1), so the
+    2x2/s1 conv needs NO in-kernel column shift — both dx taps are rows of
+    ONE block-diagonal matmul over the two dy row-slices, and the store
+    emits the packed activation layout directly.  No lane<->sublane reshape
+    and no sub-128-lane concat anywhere: the pad+merge formulation hit
+    Mosaic's `unsupported shape cast`, and a _pm_col_shift on 32-lane phase
+    slices hit an unlowerable tpu.concatenate (both probed on-chip r3);
+    Mosaic only lowers lane slices/concats at 128-lane granularity."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    th = tile_oh
+    start = t * th - 1
+    SR = th + 1
+
+    # Same double-buffered slab pipeline as _mbconv_kernel / _stem_kernel.
+    L = b * n_tiles + t
+    slot = jax.lax.rem(L, 2)
+    nxt = jax.lax.rem(L + 1, 2)
+
+    def issue(bb, tt, sl, action):
+        _row_dma_cases(xs_hbm, slab.at[sl], sem.at[sl], bb, tt, None, SR,
+                       Hs, n_tiles, bottom_halo=False, action=action,
+                       tile_rows=th)
+
+    @pl.when(L == 0)
+    def _prime():
+        issue(b, t, slot, "start")
+
+    @pl.when(t + 1 < n_tiles)
+    def _prefetch_tile():
+        issue(b, t + 1, nxt, "start")
+
+    @pl.when(jnp.logical_and(t + 1 == n_tiles, b + 1 < pl.num_programs(0)))
+    def _prefetch_img():
+        issue(b + 1, jnp.int32(0), nxt, "start")
+
+    issue(b, t, slot, "wait")
+    sl = slab.at[slot][:]  # (SR, G, 128) uint8 bits as int8
+
+    # uint8 bits -> value (see the bits-carry note in _stem_kernel), then
+    # zero rows outside the image (DMA clamps; halo rows hold stale data).
+    xf = sl.astype(jnp.float32)
+    xf = xf + 256.0 * (xf < 0.0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SR, G, 128), 0) + start
+    h = (xf * ((rows >= 0) & (rows < Hs)).astype(jnp.float32))[None]
+
+    # Row taps dy in {0,1}; the dx taps live in the lane dimension already
+    # (neighbor channels packed by the XLA prep, zeros at the halo).
+    cat = jnp.concatenate(
+        [jax.lax.slice(h, (0, dy, 0, 0), (1, dy + th, G, 128))
+         for dy in range(2)], axis=3)  # (1, th, G, 256)
+    acc = jnp.dot(cat.reshape(th * G, 256).astype(jnp.bfloat16),
+                  w_ref[:].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)  # exact: ints < 2^8
+    y = jnp.maximum(acc * m_ref[:] + b_ref[:], 0.0)
+    q = jnp.clip(jnp.round(y * inv_a), 0.0, qmax_a)
+    if qmax_a > 127.0:
+        # Unsigned 8-bit stem grid: emit uint8 BITS (see _stem_kernel).
+        q = jnp.where(q > 127.0, q - 256.0, q)
+    col = (4 * jax.lax.broadcasted_iota(jnp.int32, (th, G, 128), 1)
+           + jax.lax.broadcasted_iota(jnp.int32, (th, G, 128), 2) // 32)
+    omask = ((col >= 1) & (col <= Ws)).astype(jnp.float32)
+    out_ref[:] = (q.reshape(th, G, 128) * omask).astype(jnp.int8)[None]
 
 
 def fused_stem(
@@ -918,30 +981,14 @@ def fused_stem(
     B, H, W, _ = images.shape
     assert H % 2 == 0 and W % 2 == 0
     Hs, Ws = H // 2, W // 2
-    # NOTE an 8px x 16ch width-packed input (5.7x less stem traffic) was
-    # prototyped but the unpack needs a lane->sublane SPLIT reshape, which
-    # this Mosaic version cannot lower (the merge direction lowers fine).
-    # The phase-major formulation that avoids the relayout entirely is the
-    # planned fix; until then the stem input stays lane-padded 12->128.
     Ws2 = _round_up(Ws + 2, 8)
-    xs = images.reshape(B, Hs, 2, Ws, 2, 3).transpose(0, 1, 3, 2, 4, 5).reshape(
-        B, Hs, Ws, 12
-    )
-    xs = jnp.pad(xs, ((0, 0), (0, 0), (1, Ws2 - Ws - 1), (0, 116)))
-    xs = jax.lax.bitcast_convert_type(xs, jnp.int8)  # uint8 bits, DMA-safe
 
     # 3x3 kernel -> 4 taps of the 2x2 s2d conv; see the tap derivation in
     # the r2 design notes: s2d tap (dy, dx, sy, sx) maps to original offset
     # (2dy+sy-1, 2dx+sx-1).
     w = np.asarray(stem["w_int"], np.float32)  # (3, 3, 3, Cout)
     Cout = w.shape[-1]
-    if out_packed:
-        assert Cout <= PACK_MAX_C
-        Cop = 32
-        Wso2 = 4 * packed_width(Ws)  # packed output layout width
-    else:
-        Cop = _round_up(Cout, 128)
-        Wso2 = _round_up(Ws + 2, 8)
+    Cop = 32 if out_packed else _round_up(Cout, 128)
     w4 = np.zeros((4, 128, Cop), np.float32)
     for dy in range(2):
         for dx in range(2):
@@ -952,11 +999,11 @@ def fused_stem(
                     if 0 <= oy < 3 and 0 <= ox < 3:
                         w4[2 * dy + dx, sy * 6 + sx * 3: sy * 6 + sx * 3 + 3, :Cout] = \
                             w[oy, ox, :, :]
-    w4 = jnp.asarray(w4.reshape(4 * 128, Cop))
 
-    m = _pad1(np.asarray(stem["mult_core"]) / 255.0, Cop)
-    bias = _pad1(stem["bias"], Cop)
-
+    inv_a = float(1.0 / stem["act_step"])
+    qmax_a = float(stem["act_qmax"])
+    vspec = lambda a: pl.BlockSpec(a.shape, lambda b, t, _n=a.ndim: (0,) * _n,
+                                   memory_space=pltpu.VMEM)
     if tile_oh <= 0:
         from spef_tpu.quant.autotune import block_signature, lookup_tile
 
@@ -966,22 +1013,82 @@ def fused_stem(
         tile_oh //= 2
     n_tiles = Hs // tile_oh
 
+    if out_packed:
+        # Phase-major path (_stem_pm_kernel): phase-packed s2d input
+        # (12->32 lanes/phase, 3.6x less stem DMA than the 12->128
+        # lane-padded plain layout), block-diagonal tap weights.
+        assert Cout <= PACK_MAX_C
+        G = packed_width(Ws)
+        xs12 = images.reshape(B, Hs, 2, Ws, 2, 3).transpose(
+            0, 1, 3, 2, 4, 5).reshape(B, Hs, Ws, 12)
+        # Pixel j's phase slot also carries pixel j-1's channels (lanes
+        # 12-23) so the dx=0 tap needs no in-kernel column shift.
+        left = jnp.pad(xs12, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :Ws, :]
+        xs = jnp.concatenate([xs12, left], axis=-1)  # (B, Hs, Ws, 24)
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (1, 4 * G - Ws - 1), (0, 8)))
+        xs = jax.lax.bitcast_convert_type(xs, jnp.int8)  # uint8 bits
+        xs = xs.reshape(B, Hs, G, 128)
+
+        # Per-dy phase block (32in, 32out): rows 0-11 = dx=1 tap (own
+        # column, w4 tap 2dy+1), rows 12-23 = dx=0 tap (left neighbor,
+        # w4 tap 2dy).
+        def _dy_block(dy):
+            blk = np.zeros((32, 32), np.float32)
+            blk[:12, :Cout] = w4[2 * dy + 1, :12, :Cout]
+            blk[12:24, :Cout] = w4[2 * dy, :12, :Cout]
+            return blk
+
+        w_pm = jnp.asarray(np.concatenate(
+            [_pm_block_diag(_dy_block(dy), 32, 32) for dy in range(2)],
+            axis=0))  # (256, 128)
+        m32 = np.zeros(32, np.float32)
+        m32[:Cout] = np.asarray(stem["mult_core"], np.float32) / 255.0
+        b32 = np.zeros(32, np.float32)
+        b32[:Cout] = np.asarray(stem["bias"], np.float32)
+        m_pm = jnp.asarray(np.tile(m32, 4).reshape(1, 128))
+        b_pm = jnp.asarray(np.tile(b32, 4).reshape(1, 128))
+
+        kernel = functools.partial(
+            _stem_pm_kernel, Hs=Hs, Ws=Ws, G=G, tile_oh=tile_oh,
+            inv_a=inv_a, qmax_a=qmax_a, n_tiles=n_tiles,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(B, n_tiles),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      vspec(w_pm), vspec(m_pm), vspec(b_pm)],
+            out_specs=pl.BlockSpec((1, tile_oh, G, 128),
+                                   lambda b, t: (b, t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, Hs, G, 128), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((2, tile_oh + 1, G, 128), jnp.int8),
+                            pltpu.SemaphoreType.DMA((2,))],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=interpret,
+        )(xs, w_pm, m_pm, b_pm)
+
+    Wso2 = Ws2
+    xs = images.reshape(B, Hs, 2, Ws, 2, 3).transpose(0, 1, 3, 2, 4, 5).reshape(
+        B, Hs, Ws, 12
+    )
+    xs = jnp.pad(xs, ((0, 0), (0, 0), (1, Ws2 - Ws - 1), (0, 116)))
+    xs = jax.lax.bitcast_convert_type(xs, jnp.int8)  # uint8 bits, DMA-safe
+    w4 = jnp.asarray(w4.reshape(4 * 128, Cop))
+
+    m = _pad1(np.asarray(stem["mult_core"]) / 255.0, Cop)
+    bias = _pad1(stem["bias"], Cop)
+
     kernel = functools.partial(
         _stem_kernel, Hs=Hs, Ws=Ws, Ws2=Ws2, Wso2=Wso2, Cout=Cout, Cop=Cop,
-        tile_oh=tile_oh,
-        inv_a=float(1.0 / stem["act_step"]), qmax_a=float(stem["act_qmax"]),
-        n_tiles=n_tiles, out_packed=out_packed,
+        tile_oh=tile_oh, inv_a=inv_a, qmax_a=qmax_a, n_tiles=n_tiles,
     )
-    out_phys = (Wso2 // 4, 128) if out_packed else (Wso2, Cop)
-    vspec = lambda a: pl.BlockSpec(a.shape, lambda b, t, _n=a.ndim: (0,) * _n,
-                                   memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), vspec(w4), vspec(m), vspec(bias)],
-        out_specs=pl.BlockSpec((1, tile_oh) + out_phys, lambda b, t: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((1, tile_oh, Wso2, Cop), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Hs) + out_phys, jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((B, Hs, Wso2, Cop), jnp.int8),
         scratch_shapes=[pltpu.VMEM((2, tile_oh + 1, Ws2, 128), jnp.int8),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
