@@ -195,6 +195,15 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
                     if layout:
                         y = pad_act(unpad_act_packed(y, w, c))
                     in_packed = False
+                repack_out = out_packed and not in_packed
+                if repack_out:
+                    # Wide->narrow (c>32 -> cout<=32, absent from
+                    # MobileNetV2 but reachable for custom nets): the
+                    # plain-input kernel's packed store needs a lane-merge
+                    # reshape Mosaic cannot lower on-chip (probed r3) —
+                    # emit plain, then repack XLA-side to keep the
+                    # `packed == (layout and c <= PACK_MAX_C)` invariant.
+                    out_packed = False
                 if not layout:
                     y = pad_act_packed(y) if in_packed else pad_act(y)
                     layout = True
@@ -202,6 +211,9 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
                                  shared_grid=shared, logical_hw=(h, w),
                                  interpret=interpret, in_unsigned=unsigned,
                                  in_packed=in_packed, out_packed=out_packed)
+                if repack_out:
+                    y = pad_act_packed(
+                        unpad_act(y, w // stride, cout))
                 if blk["use_residual"]:
                     if out_grid is not None and abs(
                             blk["shared_step"] - out_grid["step"]) > 1e-12:

@@ -320,3 +320,46 @@ def test_packed_layout_roundtrip_and_block_equivalence():
             w // stride, cout)
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(packed),
                                       err_msg=str(case))
+
+
+def test_fused_packed_wide_to_narrow_transition(monkeypatch):
+    """Wide->narrow block (c>32 -> cout<=32, absent from MobileNetV2 but
+    reachable for custom settings) under SPEF_PACK: the plain-input kernel
+    cannot emit the packed layout on real Mosaic (lane-merge reshape), so
+    the executor emits plain and repacks XLA-side — parity with the plain
+    fused executor must hold through the transition."""
+    from spef_tpu.models.wrapper import ModelWrapper, SPEModel
+    from spef_tpu.quant.bitwidth import default_bit_width
+    from spef_tpu.quant.int8_fused import build_fused_forward
+    from spef_tpu.quant.qmodels import QMobileNetV2, QURSONetHead
+
+    bw = default_bit_width(n_blocks=2, w=4, a=4, shared=4)
+    bw["inverted_residual"][0] = [(4, 4), (4, 4), (4,)]
+    backbone = QMobileNetV2(
+        out_features=64, settings=((6, 64, 1, 1), (6, 24, 1, 2)),
+        batchnorm=True, residual=True, quantization=True, bit_width=bw)
+    head = QURSONetHead(n_ori_outputs=16, n_pos_outputs=3,
+                        quantization=True, bit_width=bw)
+    module = ModelWrapper(backbone=backbone, head=head)
+    dummy = jnp.zeros((1, 32, 64, 3), jnp.float32)
+    variables = module.init({"params": jax.random.PRNGKey(3)}, dummy, False)
+    model = SPEModel(module=module, variables=dict(variables),
+                     backbone_name="mobilenet_v2_q", head_name="ursonet_q",
+                     bit_width=bw)
+    graph = convert_qat_params(model)
+    assert int(graph["blocks"][1]["project"]["w_int"].shape[-1]) == 24  # narrow
+    assert int(graph["blocks"][1]["expand"]["w_int"].shape[-2]) == 64  # wide in
+
+    images = jnp.asarray(
+        np.random.RandomState(33).randint(0, 256, (2, 32, 64, 3), dtype=np.uint8))
+    plain_out = build_fused_forward(graph, interpret=True)(images)
+    monkeypatch.setenv("SPEF_PACK", "1")
+    packed_out = build_fused_forward(graph, interpret=True)(images)
+    for a, b, name in ((plain_out[0], packed_out[0], "ori"),
+                       (plain_out[1], packed_out[1], "pos")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+    # Both blocks must take the fused path (w and w/2 multiples of 8) —
+    # otherwise the XLA fallback makes this test vacuous.
+    from spef_tpu.quant.int8_fused import _block_fusable
+    assert _block_fusable(graph["blocks"][0], 16, 32)
+    assert _block_fusable(graph["blocks"][1], 16, 32)
