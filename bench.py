@@ -3,18 +3,26 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Pipeline measured (the BASELINE.json north-star config): the QUANTIZED
-deployment path — QAT-converted integer weights (the bit_width-schema
-mixed-precision grid) executed in the weight-only bf16 mode
-(`spef_tpu.quant.int8_model.build_weight_only_forward`), fused
+deployment path — the boundary-recipe QAT graph (int8 activations at every
+block boundary, real-valued interiors; integer weights on the
+bit_width-schema mixed-precision grid) executed by the int8-carry
+formulation (`spef_tpu.quant.int8_carry.build_int8_carry_forward`): fused
 preprocess (uint8 normalize) + MobileNetV2 + URSONet soft-classification
 heads + softmax + histogram decode (batched eigh), one XLA program, one
 chip.  vs_baseline is against the 20k fps/chip target from BASELINE.md.
 
-Why weight-only: on v5e the faithful int8 executors are VPU-bound on
-activation requantization (~4.2k fps) while this mode matches the bf16
-roofline (~28k fps) with the same quantized weight grid — see
-PERFORMANCE.md.  The bit-exact int8 executors remain available for parity
-validation (`quant/int8_model.py`, `quant/int8_pallas.py`).
+Why boundary-carry: activations cross HBM as int8 on their quantization
+grids (half the bf16 bytes on a roofline-bound network) and the arithmetic
+is exact integer via bf16 operands + f32 accumulation — this is the
+fastest measured mode (30.0k fps r3, benchmarks/bench_paths.py) AND it is
+bit-exact with the fused Pallas deployment executor (parity 0.0).  The
+weight-only bf16 mode (~29k, the r1/r2 headline) remains the fallback if
+the boundary graph cannot build.
+
+Iterations are CHAINED (frame i+1 depends on output i): repeated async
+calls on identical inputs get coalesced by this environment's remote
+execution relay, so unchained loops overreport (PERFORMANCE.md
+"measurement gotcha").
 """
 
 import json
@@ -36,12 +44,11 @@ WARMUP = 3
 ITERS = 20
 
 
-def main():
+def build_predict():
     from spef_tpu.codec.facade import SPEUtils
     from spef_tpu.data.camera import SPEED_CAMERA
     from spef_tpu.models.wrapper import import_model
     from spef_tpu.quant.convert import convert_qat_params
-    from spef_tpu.quant.int8_model import build_weight_only_forward
 
     spe_utils = SPEUtils.create(
         SPEED_CAMERA,
@@ -49,7 +56,7 @@ def main():
         pos_mode="classification",
         use_keypoints=False,
     )
-    model = import_model(
+    kw = dict(
         backbone_name="mobilenet_v2_q",
         head_name="ursonet_q",
         img_size=(IMG, IMG),
@@ -58,26 +65,47 @@ def main():
         pos_mode="classification",
         n_pos_bins=spe_utils.position.n_bins,
     )
-    graph = convert_qat_params(model)
-    forward = build_weight_only_forward(graph)
+    try:
+        from spef_tpu.quant.bitwidth import boundary_bit_width
+        from spef_tpu.quant.int8_carry import build_int8_carry_forward
 
-    def predict(images):
-        pred = forward(images)
+        graph = convert_qat_params(import_model(bit_width=boundary_bit_width(), **kw))
+        forward = build_int8_carry_forward(graph)
+        label = "boundary-recipe int8-carry exec"
+    except Exception:  # keep the headline alive if the boundary graph breaks
+        from spef_tpu.quant.int8_model import build_weight_only_forward
+
+        graph = convert_qat_params(import_model(**kw))
+        forward = build_weight_only_forward(graph)
+        label = "weight-only bf16 exec (fallback)"
+
+    def predict(frames):
+        pred = forward(frames)
         pose = spe_utils.last_activ({"ori_soft": pred[0], "pos_soft": pred[1]})
-        return spe_utils.decode(pose)
+        out = spe_utils.decode(pose)
+        # Data-dependent perturbation chains iterations (a unit-quaternion
+        # component is never 2.0 -> dep == 1 always, but the compiler cannot
+        # know that), so the relay cannot coalesce repeated calls.
+        dep = (out["ori"][0, 0] != 2.0).astype(jnp.uint8)
+        return frames + dep, out
 
-    predict = jax.jit(predict)
+    return jax.jit(predict), label
+
+
+def main():
+    predict, label = build_predict()
 
     rng = np.random.RandomState(1001)
     frames = jnp.asarray(rng.randint(0, 256, (BATCH, IMG, IMG, 3), dtype=np.uint8))
 
+    out = None
     for _ in range(WARMUP):
-        jax.block_until_ready(predict(frames))
+        frames, out = predict(frames)
+    jax.block_until_ready(out)
 
     start = time.perf_counter()
-    out = None
     for _ in range(ITERS):
-        out = predict(frames)
+        frames, out = predict(frames)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
 
@@ -85,7 +113,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "frames/sec/chip (preprocess->pose, QAT-quantized weights, bf16 exec)",
+                "metric": f"frames/sec/chip (preprocess->pose, QAT-quantized, {label})",
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / TARGET_FPS, 4),
