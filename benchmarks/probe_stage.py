@@ -103,7 +103,12 @@ def main():
         logical_bytes = args.batch * (h * w * cin + (h // stride) * (w // stride) * cout)
         row = {"floor_ms": round(logical_bytes / 810e9 * 1e3, 3),
                "layout_in_mb": round(x.nbytes / 1e6, 1)}
-        for stage in ("dma", "expand", "dw", "full"):
+        # "dwsel" (phase-major only) splits the depthwise stage: tap-tensor
+        # construction (lane-slice/concat shifts) vs the 9-tap accumulation
+        # (= dw - dwsel).
+        stages = (("dma", "expand", "dwsel", "dw", "full") if in_packed
+                  else ("dma", "expand", "dw", "full"))
+        for stage in stages:
             try:
                 ms = _time_fn(
                     lambda xx, s=stage: fused_mbconv(

@@ -52,7 +52,8 @@ def main():
     graph = convert_qat_params(model, bw)
     table = tune_graph(graph, (args.img, args.img), batch=args.batch,
                        iters=args.iters)
-    print(json.dumps({k: {kk: v[kk] for kk in ("tile_oh", "ms", "speedup")
+    print(json.dumps({k: {kk: v[kk] for kk in
+                          ("tile_oh", "ms", "speedup", "xla_ms", "backend")
                           if kk in v}
                       for k, v in table.items()}, indent=1, sort_keys=True))
 

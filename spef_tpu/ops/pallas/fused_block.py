@@ -365,6 +365,12 @@ def _mbconv_pm_body(
     w2f = w2[:].astype(jnp.float32)  # (9, L4) phase-tiled
     if stride == 1:
         taps = {s: _pm_col_shift(h, s, NB, SR, G, Chp) for s in (-1, 0, 1)}
+        if stage == "dwsel":
+            # Attribution probe: cost of BUILDING the column-shifted tap
+            # tensors (lane slices + concats) separate from the 9-tap fma
+            # accumulation (= dw - dwsel).  Pays one extra full-tensor add.
+            probe_store(taps[-1] + taps[1])
+            return
         acc = jnp.zeros((NB, th, G, L4), jnp.float32)
         for dy in range(3):
             for dx in range(3):
@@ -387,6 +393,14 @@ def _mbconv_pm_body(
             return jax.lax.slice(hh, (0, 0, 0, q * Chp),
                                  (NB, SR, G2, (q + 1) * Chp))
 
+        if stage == "dwsel":
+            # Attribution probe: cost of the phase-select concats alone
+            # (the production loop below builds the same three tensors one
+            # at a time); pays two extra full-tensor adds.
+            s_list = [jnp.concatenate([sel(2 * p + dx - 2) for p in range(4)],
+                                      axis=3) for dx in range(3)]
+            probe_store(s_list[0] + s_list[1] + s_list[2])
+            return
         acc = jnp.zeros((NB, th, G2, L4), jnp.float32)
         for dx in range(3):
             s_dx = jnp.concatenate([sel(2 * p + dx - 2) for p in range(4)],

@@ -120,7 +120,8 @@ def tune_graph(
     import jax.numpy as jnp
 
     from spef_tpu.ops.pallas.fused_block import fused_mbconv, fused_stem, pad_act
-    from spef_tpu.quant.int8_fused import _block_fusable, _consumer_grid, _grid
+    from spef_tpu.quant.int8_fused import (
+        _block_fusable, _consumer_grid, _grid, _xla_block, _xla_stem)
 
     rng = np.random.RandomState(0)
     table = dict(load_tuning())
@@ -162,6 +163,22 @@ def tune_graph(
                       "default_ms": default,
                       "speedup": round(default / sweep[best], 3) if default else None,
                       "default_skipped": default is None}
+        # Time the XLA (conv-form carry) formulation of the same stem with
+        # the same harness: the executor picks the faster backend per node
+        # (int8_fused.plan_backends) — the FINN-folding / Ansor analogue
+        # extended from "which tile" to "which engine".
+        try:
+            xla_ms = _time_fn(lambda x: _xla_stem(graph["stem"], x),
+                              images, iters) * 1e3
+            table[sig]["xla_ms"] = round(xla_ms, 4)
+            table[sig]["backend"] = ("xla" if xla_ms < table[sig]["ms"]
+                                     else "fused")
+            if verbose:
+                print(f"{sig} xla: {xla_ms:.3f} ms -> backend="
+                      f"{table[sig]['backend']}")
+        except Exception as exc:
+            if verbose:
+                print(f"{sig} xla: failed ({type(exc).__name__})")
 
     # --- blocks ---
     cur_h, cur_w = hs, ws
@@ -254,6 +271,25 @@ def tune_graph(
                               "speedup": (round(default / sweep[best], 3)
                                           if default else None),
                               "default_skipped": default is None}
+                # XLA (conv-form carry) formulation of the same block, same
+                # harness — the executor picks the faster engine per node
+                # (int8_fused.plan_backends).
+                x_plain = jnp.asarray(
+                    rng.randint(-8, 8, (batch, cur_h, cur_w, cin)).astype(np.int8))
+                try:
+                    xla_ms = _time_fn(
+                        lambda xx, b=blk, s=step, og=out_grid:
+                            _xla_block(xx, b, s, og)[0],
+                        x_plain, iters) * 1e3
+                    table[sig]["xla_ms"] = round(xla_ms, 4)
+                    table[sig]["backend"] = ("xla" if xla_ms < table[sig]["ms"]
+                                             else "fused")
+                    if verbose:
+                        print(f"{sig} xla: {xla_ms:.3f} ms -> backend="
+                              f"{table[sig]['backend']}")
+                except Exception as exc:
+                    if verbose:
+                        print(f"{sig} xla: failed ({type(exc).__name__})")
         # track grid + shape evolution like the executor does
         if blk["use_residual"]:
             og = _consumer_grid(graph, i)

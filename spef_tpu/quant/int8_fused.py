@@ -35,7 +35,51 @@ from spef_tpu.ops.pallas.fused_block import (
     unpad_act_packed,
 )
 
-__all__ = ["build_fused_forward"]
+__all__ = ["build_fused_forward", "plan_backends"]
+
+
+def plan_backends(graph: Dict[str, Any], img_hw) -> Dict[str, Any]:
+    """Per-node engine choice from the autotuner's measurements.
+
+    For every node signature with BOTH a fused-kernel time (``ms``) and a
+    conv-form XLA time (``xla_ms``) in the tuning table, pick the faster
+    backend; nodes never measured (or measured fused-only) default to the
+    fused kernel.  ``SPEF_ALL_FUSED=1`` forces the all-Pallas pipeline
+    (probe/analysis mode).  Transition costs between backends (one pad or
+    unpad HBM pass at each boundary) are not modeled — they are ~0.1-0.4 ms
+    against multi-ms node gaps; the end-to-end bench stays the arbiter.
+    """
+    h, w = img_hw
+    blocks = graph["blocks"]
+    if os.environ.get("SPEF_ALL_FUSED"):
+        return {"stem": "fused", "blocks": ["fused"] * len(blocks)}
+    from spef_tpu.quant.autotune import block_signature, load_tuning
+
+    table = load_tuning()
+
+    def pick(sig: str) -> str:
+        e = table.get(sig)
+        if (e and e.get("xla_ms") is not None and e.get("ms") is not None
+                and e["xla_ms"] < e["ms"]):
+            return "xla"
+        return "fused"
+
+    stem_cout = int(graph["stem"]["w_int"].shape[-1])
+    plan = {"stem": pick(block_signature("stem", h, w, 3, 12, stem_cout, 2))}
+    cur_h, cur_w = h // 2, w // 2
+    picks = []
+    for blk in blocks:
+        d = blk["depthwise"]
+        stride = d["stride"]
+        cin = int(blk["expand"]["w_int"].shape[-2] if "expand" in blk
+                  else d["w_int"].shape[-1])
+        ch = int(d["w_int"].shape[-1])
+        co = int(blk["project"]["w_int"].shape[-1])
+        picks.append(pick(
+            block_signature("mbconv", cur_h, cur_w, cin, ch, co, stride)))
+        cur_h, cur_w = cur_h // stride, cur_w // stride
+    plan["blocks"] = picks
+    return plan
 
 
 def _grid(step: float, qmax: float) -> Dict[str, float]:
@@ -107,6 +151,17 @@ def _xla_block(y, blk, step, out_grid, in_unsigned=False):
     return y, step
 
 
+def _xla_stem(stem: Dict[str, Any], images: jax.Array) -> jax.Array:
+    """Conv-form XLA stem (uint8 frames -> int8/bits-carry stem output)."""
+    from spef_tpu.quant.int8_carry import _conv_acc
+    from spef_tpu.quant.int8_pallas import _bits_int8
+
+    acc = _conv_acc(images, stem["w_int"], 2, 1)
+    yf = jnp.maximum(acc * (stem["mult_core"] / 255.0) + stem["bias"], 0.0)
+    q = jnp.clip(jnp.round(yf / stem["act_step"]), 0, stem["act_qmax"])
+    return _bits_int8(q) if stem["act_qmax"] > 127.0 else q.astype(jnp.int8)
+
+
 def _block_fusable(blk, h: int, w: int) -> bool:
     stride = blk["depthwise"]["stride"]
     if w % 8:
@@ -139,20 +194,20 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
         # interpret-tested and kept for the phase-major kernel rework that
         # will avoid the relayout; production defaults to plain layouts.
         PACK_MAX_C = _PACK_MAX_C if os.environ.get("SPEF_PACK") else 0
-        if fusable_stem:
+        # Per-node backend plan: the autotuner times every node in BOTH the
+        # fused-Pallas and the conv-form XLA formulation (quant/autotune.py);
+        # the executor runs whichever measured faster.  Bit-exact either way
+        # (parity-tested), so this is pure schedule selection — the
+        # FINN-folding / Ansor analogue extended to engine choice.
+        plan = plan_backends(graph, (hh, ww))
+
+        if fusable_stem and plan["stem"] == "fused":
             stem_packed = int(graph["stem"]["w_int"].shape[-1]) <= PACK_MAX_C
             y = fused_stem(images, graph["stem"], interpret=interpret,
                            out_packed=stem_packed)
             layout = True
         else:
-            from spef_tpu.quant.int8_carry import _conv_acc
-            from spef_tpu.quant.int8_pallas import _bits_int8
-
-            stem = graph["stem"]
-            acc = _conv_acc(images, stem["w_int"], 2, 1)
-            yf = jnp.maximum(acc * (stem["mult_core"] / 255.0) + stem["bias"], 0.0)
-            q = jnp.clip(jnp.round(yf / stem["act_step"]), 0, stem["act_qmax"])
-            y = _bits_int8(q) if stem["act_qmax"] > 127.0 else q.astype(jnp.int8)
+            y = _xla_stem(graph["stem"], images)
             layout = False
         h, w = hh // 2, ww // 2
         c = int(graph["stem"]["w_int"].shape[-1])
@@ -184,7 +239,7 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
                       if "shared_step" in blk else None)
             stride = blk["depthwise"]["stride"]
             cout = int(blk["project"]["w_int"].shape[-1])
-            if _block_fusable(blk, h, w):
+            if _block_fusable(blk, h, w) and plan["blocks"][i] == "fused":
                 in_packed = c <= PACK_MAX_C
                 out_packed = cout <= PACK_MAX_C
                 if in_packed and not out_packed:

@@ -78,3 +78,58 @@ def test_kernel_uses_tuned_tile(tmp_path, monkeypatch):
     out = unpad_act(out, 16, 8)
     assert out.shape == (1, 16, 16, 8)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_hybrid_backend_plan_and_parity(tmp_path, monkeypatch):
+    """When the tuning table says XLA beat the fused kernel for a block,
+    build_fused_forward routes that block through the conv-form carry ops
+    — and the hybrid output is identical to the all-Pallas pipeline."""
+    import jax.numpy as jnp
+
+    import spef_tpu.quant.int8_fused as fused
+    from spef_tpu.models.wrapper import import_model
+    from spef_tpu.quant.bitwidth import default_bit_width
+    from spef_tpu.quant.convert import convert_qat_params
+
+    bw = default_bit_width(n_blocks=2, w=8, a=4, shared=4)
+    bw["inverted_residual"] = [[(8, 4), (8, 4), (8,)] for _ in range(2)]
+    model = import_model(
+        backbone_name="small_mobile_q", head_name="ursonet_q", img_size=(48, 64),
+        bit_width=bw, ori_mode="classification", n_ori_bins=64,
+        pos_mode="regression", seed=7,
+    )
+    graph = convert_qat_params(model, bw)
+    images = jnp.asarray(
+        np.random.RandomState(11).randint(0, 256, (2, 48, 64, 3), dtype=np.uint8))
+
+    monkeypatch.setattr(at, "_TUNING_PATH", str(tmp_path / "t.json"))
+    monkeypatch.setattr(at, "_cache", None)
+
+    monkeypatch.setenv("SPEF_ALL_FUSED", "1")
+    ref = fused.build_fused_forward(graph, interpret=True)(images)
+    monkeypatch.delenv("SPEF_ALL_FUSED")
+
+    # Mark block 0 xla-preferred (stem + block 1 stay fused: no entries).
+    blk = graph["blocks"][0]
+    d = blk["depthwise"]
+    cin = int(blk["expand"]["w_int"].shape[-2] if "expand" in blk
+              else d["w_int"].shape[-1])
+    sig = at.block_signature("mbconv", 24, 32, cin, int(d["w_int"].shape[-1]),
+                             int(blk["project"]["w_int"].shape[-1]),
+                             int(d["stride"]))
+    at.save_tuning({sig: {"tile_oh": 8, "ms": 9.9, "xla_ms": 0.1,
+                          "backend": "xla"}})
+
+    plan = fused.plan_backends(graph, (48, 64))
+    assert plan["stem"] == "fused"
+    assert plan["blocks"][0] == "xla" and plan["blocks"][1] == "fused"
+
+    calls = []
+    orig = fused._xla_block
+    monkeypatch.setattr(
+        fused, "_xla_block",
+        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    out = fused.build_fused_forward(graph, interpret=True)(images)
+    assert calls, "xla-preferred block did not route through _xla_block"
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(out[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(out[1]), atol=1e-5)
