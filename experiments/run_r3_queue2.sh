@@ -45,7 +45,7 @@ settle
 echo "== 3. Keypoints-mode training run =="
 timeout 14400 python -m spef_tpu.apps.train \
     --config configs/exp_keypoints_synth.yaml \
-    --out experiments/train_synth --device-data \
+    --out experiments/train_synth --device-data --device-augment \
     2>&1 | tee experiments/train_synth/keypoints.log | tail -20
 
 settle
