@@ -56,7 +56,9 @@ def main(exp_dir, suite_dir, out_path=None):
         "float -> QAT fake-quant -> weight-only int8 -> full int8 graph.",
         "Recipes: `default` = every activation gridded (FINN-style, 3-bit acts),",
         "`boundary` = int8 block edges / float interior (TVM/TensorRT-style),",
-        "`w8a8` = uniform 8-bit weights+activations.",
+        "`w8a8` = uniform 8-bit weights+activations; a `15` suffix = 15",
+        "warm-start QAT epochs (vs 3); `ptq` suffix = percentile-calibrated",
+        "post-training quantization, zero QAT (`build_nvidia.py:30-127` recipe).",
         "",
         "| Stage | ESA (test) | ESA (valid) | ori (test) | pos (test) |",
         "|---|---|---|---|---|",
