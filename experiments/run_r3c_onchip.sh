@@ -61,6 +61,11 @@ SPEF_PACK=1 timeout 2700 python benchmarks/bench_paths.py \
     2>&1 | tee experiments/fused_r3/bench_boundary_hybrid.log | tail -12
 
 settle
+echo "== B3. stage probe (packed, dwsel attribution) =="
+SPEF_PACK=1 timeout 1500 python benchmarks/probe_stage.py \
+    2>&1 | tee experiments/fused_r3/probe_stage_packed.log | tail -24
+
+settle
 echo "== C. PTQ-calibrated w8a8 ladder (no QAT, percentile) =="
 timeout 3600 python -m spef_tpu.apps.build_int8 \
     --config "$EXP/config.yaml" \
