@@ -83,6 +83,7 @@ def main(argv=None):
     from spef_tpu.engine import SPEJax
     from spef_tpu.models.wrapper import import_model
     from spef_tpu.quant.bitwidth import save_bit_width
+    from spef_tpu.quant.calibrate import calibrate_graph, write_scales_to_params
     from spef_tpu.quant.convert import convert_qat_params
     from spef_tpu.quant.int8_model import build_int8_forward
     from spef_tpu.quant.warmstart import copy_params
@@ -151,6 +152,20 @@ def main(argv=None):
             seed=args.seed,
         )
         qat_model.variables = copy_params(float_vars, qat_model.variables)
+        # Calibrate-then-QAT (the reference's build_nvidia.py:209-276
+        # methodology, quant/calibrate.py): initialize every learned
+        # activation grid from float-activation percentiles so a short
+        # fine-tune starts near its converged quality.  Measured without
+        # this, 3 raw QAT epochs leave even uniform w8a8 at ~4x its
+        # converged ESA (ladder_w8a8.log epochs 1-3: 1.00 -> 0.64 -> 0.28
+        # valid vs 0.18 converged) — the sweep would rank warm-up noise,
+        # not bit-width sensitivity.
+        graph0 = convert_qat_params(qat_model, bw)
+        cal_batches = (b["images"] for b in data["train"])
+        _, amaxes = calibrate_graph(graph0, cal_batches, method="percentile",
+                                    max_batches=64)
+        qat_model.variables = write_scales_to_params(qat_model.variables, amaxes)
+        del graph0
         if args.qat_epochs > 0:
             lr = cfg.TRAIN.LR / 10.0
             tx, sched = import_optimizer(
