@@ -31,11 +31,17 @@ python -m spef_tpu.apps.eval --experiment "$EXP" --batch-size 64 --cache-dataset
     2>&1 | tail -20 | tee "$OUT/eval_float.log"
 
 settle
+# Recipe notes (measured, round 3 — see ACCURACY.md):
+#   * --calibrate percentile initializes every learned activation grid from
+#     float-activation statistics (calibrate-then-QAT, build_nvidia.py
+#     methodology) — without it short fine-tunes rank warm-up noise;
+#   * 15 QAT epochs reach ~0.15 test ESA on the boundary recipe vs ~0.19
+#     at 3 epochs (float baseline 0.126).
 echo "== 2. Quantization ladder (QAT warm-start from the trained fp32) =="
 python -m spef_tpu.apps.build_int8 \
     --config "$EXP/config.yaml" \
     --fp32-checkpoint "$EXP/model/parameters.msgpack" \
-    --qat-epochs 3 --device-data --out "$OUT/ladder_default" \
+    --calibrate percentile --qat-epochs 15 --device-data --out "$OUT/ladder_default" \
     2>&1 | tail -30 | tee "$OUT/ladder_default.log"
 
 settle
@@ -43,7 +49,8 @@ echo "== 3. Boundary-recipe ladder (TPU-speed recipe accuracy cost) =="
 python -m spef_tpu.apps.build_int8 \
     --config "$EXP/config.yaml" \
     --fp32-checkpoint "$EXP/model/parameters.msgpack" \
-    --recipe boundary --qat-epochs 3 --device-data --out "$OUT/ladder_boundary" \
+    --recipe boundary --calibrate percentile --qat-epochs 15 --device-data \
+    --out "$OUT/ladder_boundary" \
     2>&1 | tail -30 | tee "$OUT/ladder_boundary.log"
 
 settle
