@@ -69,6 +69,28 @@ class HistogramCollector:
         hist, _ = np.histogram(mags, bins=self.n_bins, range=(0.0, self.range))
         self.counts += hist
 
+    def update_hist(self, counts: np.ndarray, range_: float, amax: float) -> None:
+        """Merge a pre-binned magnitude histogram (device-side collection).
+
+        Incoming values are approximated at their bin centers, so the
+        redistribution error is bounded by one incoming bin width —
+        irrelevant at 2048 bins for every amax method here.
+        """
+        counts = np.asarray(counts, np.int64)
+        amax = float(amax)
+        self.amax_observed = max(self.amax_observed, amax)
+        if self.counts is None:
+            self.range = max(float(range_), 1e-12)
+            self.counts = np.zeros(self.n_bins, np.int64)
+        while amax > self.range:
+            merged = self.counts.reshape(-1, 2).sum(axis=1)
+            self.counts = np.concatenate([merged, np.zeros(self.n_bins // 2, np.int64)])
+            self.range *= 2.0
+        centers = (np.arange(counts.size) + 0.5) * (float(range_) / counts.size)
+        idx = np.minimum((centers / self.range * self.n_bins).astype(np.int64),
+                         self.n_bins - 1)
+        np.add.at(self.counts, idx, counts)
+
     # ------------------------------------------------------------------
     def _centers(self) -> np.ndarray:
         w = self.range / self.n_bins
@@ -207,15 +229,37 @@ def collect_activation_stats(
     max_batches: int = 256,
 ) -> Dict[str, HistogramCollector]:
     """Observe the float net over calibration batches (256 max, the
-    reference's calibration budget `build_nvidia.py:209-217`)."""
-    tap_fn = jax.jit(lambda imgs: _tap_forward(graph, imgs))
+    reference's calibration budget `build_nvidia.py:209-217`).
+
+    Histograms are computed ON DEVICE against each batch's own range and
+    merged host-side (``HistogramCollector.update_hist``): the per-batch
+    transfer is (1 amax scalar + n_bins counts) per site instead of the
+    full activation tensors — pulling every tap to the host costs GBs per
+    batch through the TPU tunnel and stalls calibration for hours.
+    """
+
+    def _stats(imgs):
+        taps = _tap_forward(graph, imgs)
+        out = {}
+        for site, v in taps.items():
+            mags = jnp.abs(v.astype(jnp.float32)).ravel()
+            amax = jnp.max(mags)
+            rng_ = jnp.maximum(amax, 1e-12) * 1.25
+            idx = jnp.minimum((mags * (n_bins / rng_)).astype(jnp.int32),
+                              n_bins - 1)
+            out[site] = (amax, jnp.zeros((n_bins,), jnp.int32).at[idx].add(1))
+        return out
+
+    stats_fn = jax.jit(_stats)
     collectors: Dict[str, HistogramCollector] = {}
     for b, images in enumerate(batches):
         if b >= max_batches:
             break
-        taps = jax.device_get(tap_fn(jnp.asarray(images)))
-        for site, val in taps.items():
-            collectors.setdefault(site, HistogramCollector(n_bins)).update(val)
+        stats = jax.device_get(stats_fn(jnp.asarray(images)))
+        for site, (amax, counts) in stats.items():
+            rng_ = max(float(amax), 1e-12) * 1.25
+            collectors.setdefault(site, HistogramCollector(n_bins)).update_hist(
+                counts, rng_, float(amax))
     assert collectors, "no calibration batches provided"
     return collectors
 

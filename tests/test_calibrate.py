@@ -52,6 +52,22 @@ class TestHistogramCollector:
         assert p < 5.0  # single outlier at 100 ignored
         assert c.amax("absmax", qmax=127.0) == pytest.approx(100.0)
 
+    def test_update_hist_matches_update(self):
+        """Device-side pre-binned collection tracks the host path within a
+        bin width for every amax method."""
+        x = np.abs(np.random.RandomState(2).randn(50000)).astype(np.float32)
+        host = HistogramCollector()
+        host.update(x)
+        dev = HistogramCollector()
+        amax = float(x.max())
+        rng_ = amax * 1.25
+        counts, _ = np.histogram(x, bins=dev.n_bins, range=(0.0, rng_))
+        dev.update_hist(counts, rng_, amax)
+        assert dev.amax("absmax", 127.0) == pytest.approx(host.amax("absmax", 127.0))
+        for method in ("percentile", "mse"):
+            a, b = host.amax(method, 127.0), dev.amax(method, 127.0)
+            assert b == pytest.approx(a, rel=0.02), (method, a, b)
+
     def test_mse_and_entropy_reasonable(self):
         c = HistogramCollector()
         c.update(np.abs(np.random.RandomState(1).randn(200000)))
