@@ -25,7 +25,7 @@ import jax
 def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 1001,
                    data_parallel: bool = False, cache_dataset: bool = False,
                    checkpoint: bool = False, epochs: int = 0,
-                   device_augment: bool = False) -> dict:
+                   device_augment: bool = False, warm_start: str = "") -> dict:
     from spef_tpu.codec.facade import SPEUtils
     from spef_tpu.config.train_config import save_config
     from spef_tpu.data.camera import load_camera
@@ -99,6 +99,23 @@ def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 10
         n_pos_bins=spe_utils.position.n_bins,
         seed=seed,
     )
+
+    if warm_start:
+        # Category-ordered copy from ANY trained checkpoint of the same
+        # backbone; leaves whose shapes differ (e.g. a different head) keep
+        # their fresh init.  This is the supported equivalent of the
+        # reference's ImageNet warm start (`src/modeling/model.py:268-277`)
+        # — e.g. seed a keypoints-head run from the trained soft-class
+        # flagship's backbone.
+        from flax import serialization
+
+        from spef_tpu.quant.warmstart import copy_params
+
+        with open(warm_start, "rb") as f:
+            src_vars = serialization.msgpack_restore(f.read())
+        model.variables = copy_params(src_vars, model.variables,
+                                      strict_shapes=False)
+        print(f"Warm-started matching parameters from {warm_start}")
 
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(model.params))
     print(f"Number of trainable parameters in the model: {n_params:,}\n")
@@ -183,6 +200,12 @@ def main(argv=None):
     parser.add_argument("--device-augment", action="store_true",
                         help="run the yaw-warp augmentation on-device instead "
                              "of host-side cv2 (faster on single-core hosts)")
+    parser.add_argument("--warm-start", default="",
+                        help="msgpack checkpoint to seed matching parameters "
+                             "from (shape-mismatched leaves, e.g. a different "
+                             "head, keep their fresh init) — the in-env "
+                             "equivalent of the reference's ImageNet warm "
+                             "start")
     args = parser.parse_args(argv)
 
     if args.config:
@@ -207,7 +230,8 @@ def main(argv=None):
                            cache_dataset="device" if args.device_data
                            else args.cache_dataset,
                            checkpoint=args.checkpoint, epochs=args.epochs,
-                           device_augment=args.device_augment)
+                           device_augment=args.device_augment,
+                           warm_start=args.warm_start)
         except Exception:
             # Per-experiment error isolation (reference `train.py:106-131`).
             os.makedirs(out_dir, exist_ok=True)
