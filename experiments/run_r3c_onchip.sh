@@ -86,6 +86,7 @@ timeout $(( $(left) > 600 ? $(left) : 600 )) python -m spef_tpu.apps.train \
     --config configs/exp_keypoints_synth.yaml \
     --out experiments/train_synth --device-data --device-augment \
     --epochs "$KP_EPOCHS" \
+    --warm-start "$EXP/model/parameters.msgpack" \
     2>&1 | tee experiments/train_synth/keypoints.log | tail -20
 
 echo "== E. Regenerate ACCURACY.md from all suite outputs =="
