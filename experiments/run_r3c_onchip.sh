@@ -93,4 +93,8 @@ echo "== E. Regenerate ACCURACY.md from all suite outputs =="
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python experiments/summarize_accuracy.py "$EXP" "$OUT" \
     2>&1 | tail -3
 
+settle
+echo "== F. bench.py driver-entry validation (boundary-carry headline) =="
+timeout 1800 python bench.py 2>&1 | tee experiments/fused_r3/bench_py_r3.log | tail -3
+
 echo "R3C chip queue complete"
