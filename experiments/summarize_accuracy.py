@@ -198,18 +198,33 @@ def main(exp_dir, suite_dir, out_path=None):
         or _load("experiments/bitwidth_sweep/results.json")
     if sweep:
         lines += [
-            "", "## Bit-width sensitivity (warm-started QAT subset)", "",
+            "", "## Bit-width sensitivity (calibrate-then-QAT subset)", "",
             "Executed subset of the reference's ~150-experiment mixed-precision",
             "study (`generate_experiment.py:5-117,655-705`); full generator:",
-            "`apps/generate_bitwidth_experiments.py` (137 configs).",
+            "`apps/generate_bitwidth_experiments.py` (137 configs). Recipe per",
+            "case: warm start from the trained flagship, percentile-calibrate",
+            "every activation grid, 3 QAT epochs at LR/10.",
             "",
-            "| Experiment | QAT ESA (test) | int8 ESA (test) | ori | pos |",
-            "|---|---|---|---|---|",
+            "| Experiment | QAT ESA (test) | int8 ESA (test) | vs w8a8 | ori | pos |",
+            "|---|---|---|---|---|---|",
         ]
-        for name, r in sweep.items():
+        base = (sweep.get("uniform_w8a8") or {}).get("int8_test_esa")
+
+        def order(item):
+            name = item[0]
+            fams = ("uniform", "dw_w", "expand_a", "proj_w", "shared_a", "block")
+            for f_i, fam in enumerate(fams):
+                if name.startswith(fam):
+                    return (f_i, name)
+            return (len(fams), name)
+
+        for name, r in sorted(sweep.items(), key=order):
+            et = r.get("int8_test_esa")
+            rel = (f"{(et - base) / base:+.0%}"
+                   if isinstance(et, float) and base else "")
             lines.append(
                 f"| {name} | {_fmt(r.get('qat_test_esa'))} |"
-                f" {_fmt(r.get('int8_test_esa'))} | {_fmt(r.get('qat_test_ori'))} |"
+                f" {_fmt(et)} | {rel} | {_fmt(r.get('qat_test_ori'))} |"
                 f" {_fmt(r.get('qat_test_pos'))} |")
 
     text = "\n".join(lines) + "\n"
