@@ -68,8 +68,13 @@ def build_paths(img, wanted, recipe="default"):
         if "int8_xla" in wanted:
             paths["int8_xla"] = build_int8_forward(graph)
         if "fused" in wanted:
-            from spef_tpu.quant.int8_fused import build_fused_forward
+            from spef_tpu.quant.int8_fused import build_fused_forward, plan_backends
 
+            plan = plan_backends(graph, (img, img))
+            n_xla = (plan["stem"] == "xla") + sum(
+                b == "xla" for b in plan["blocks"])
+            print(json.dumps({"fused_plan": plan,
+                              "nodes_routed_xla": int(n_xla)}))
             paths["fused"] = build_fused_forward(graph)
     if "float" in wanted:
         fmodel = import_model(backbone_name="mobilenet_v2", head_name="ursonet", **kw)
