@@ -37,7 +37,7 @@ if [ -n "$SWEEP_PID" ]; then
     N=$(python -c "import json;print(len(json.load(open('experiments/bitwidth_sweep/results.json'))))" 2>/dev/null || echo 0)
     # Leave >=3.6h for stages B-D; cut the sweep once 11 cases landed or
     # the clock forces the issue (results.json is written after each case).
-    if [ "$N" -ge 11 ] || [ "$(left)" -lt 12960 ]; then
+    if [ "$N" -ge 11 ] || [ "$(left)" -lt 14400 ]; then
       echo "capping sweep at $N cases ($(left)s left)"
       kill "$SWEEP_PID" 2>/dev/null
       sleep 20
@@ -61,11 +61,6 @@ SPEF_PACK=1 timeout 2700 python benchmarks/bench_paths.py \
     2>&1 | tee experiments/fused_r3/bench_boundary_hybrid.log | tail -12
 
 settle
-echo "== B3. stage probe (packed, dwsel attribution) =="
-SPEF_PACK=1 timeout 1500 python benchmarks/probe_stage.py \
-    2>&1 | tee experiments/fused_r3/probe_stage_packed.log | tail -24
-
-settle
 echo "== C. PTQ-calibrated w8a8 ladder (no QAT, percentile) =="
 timeout 3600 python -m spef_tpu.apps.build_int8 \
     --config "$EXP/config.yaml" \
@@ -73,6 +68,24 @@ timeout 3600 python -m spef_tpu.apps.build_int8 \
     --recipe w8a8 --qat-epochs 0 --calibrate percentile --device-data \
     --out "$OUT/ladder_w8a8ptq" \
     2>&1 | tee "$OUT/ladder_w8a8ptq.log" | tail -12
+
+settle
+echo "== C2. calibrated w8a8 ladder (percentile + 3 QAT epochs) =="
+timeout 3600 python -m spef_tpu.apps.build_int8 \
+    --config "$EXP/config.yaml" \
+    --fp32-checkpoint "$EXP/model/parameters.msgpack" \
+    --recipe w8a8 --qat-epochs 3 --calibrate percentile --device-data \
+    --out "$OUT/ladder_w8a8cal" \
+    2>&1 | tee "$OUT/ladder_w8a8cal.log" | tail -12
+
+settle
+echo "== C3. calibrated boundary ladder (percentile + 3 QAT epochs) =="
+timeout 3600 python -m spef_tpu.apps.build_int8 \
+    --config "$EXP/config.yaml" \
+    --fp32-checkpoint "$EXP/model/parameters.msgpack" \
+    --recipe boundary --qat-epochs 3 --calibrate percentile --device-data \
+    --out "$OUT/ladder_boundarycal" \
+    2>&1 | tee "$OUT/ladder_boundarycal.log" | tail -12
 
 settle
 echo "== D. keypoints-mode training run =="

@@ -58,7 +58,9 @@ def main(exp_dir, suite_dir, out_path=None):
         "`boundary` = int8 block edges / float interior (TVM/TensorRT-style),",
         "`w8a8` = uniform 8-bit weights+activations; a `15` suffix = 15",
         "warm-start QAT epochs (vs 3); `ptq` suffix = percentile-calibrated",
-        "post-training quantization, zero QAT (`build_nvidia.py:30-127` recipe).",
+        "post-training quantization, zero QAT (`build_nvidia.py:30-127` recipe);",
+        "`cal` suffix = calibrate-then-QAT (percentile init + 3 QAT epochs,",
+        "`build_nvidia.py:209-276` methodology).",
         "",
         "| Stage | ESA (test) | ESA (valid) | ori (test) | pos (test) |",
         "|---|---|---|---|---|",
@@ -97,7 +99,7 @@ def main(exp_dir, suite_dir, out_path=None):
     # QAT-budget pareto: fine-tune epochs spent per recipe (the experiment
     # design, documented here so the table is self-contained).
     EPOCHS = {"default": 3, "boundary": 3, "boundary15": 15,
-              "w8a8": 15, "w8a8ptq": 0}
+              "w8a8": 15, "w8a8ptq": 0, "w8a8cal": 3, "boundarycal": 3}
     pareto = {r: e for r, e in int8_by_recipe.items() if r in EPOCHS}
     if len(pareto) >= 2 and float_test == float_test:
         lines += [
