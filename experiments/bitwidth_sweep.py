@@ -53,22 +53,31 @@ def build_cases(n_blocks=17):
         ]
         return bw
 
+    # Breadth-first: the int8 baseline, then ONE case per family at its
+    # most aggressive width, then the depth ablations, then the milder
+    # widths — so a time-capped partial sweep still covers every family
+    # of the reference study (results.json is name-keyed and resumable,
+    # so order changes never invalidate finished cases).
     cases = [("uniform_w8a8", _base(n_blocks))]  # the int8 baseline
-    for w in (4, 3, 2):
-        cases.append((f"dw_w{w}", uniform("dw_w", w)))
-    for w in (4, 3, 2):
-        cases.append((f"expand_a{w}", uniform("expand_a", w)))
-    for w in (4, 2):
-        cases.append((f"proj_w{w}", uniform("proj_w", w)))
-    for w in (4, 3):
-        cases.append((f"shared_a{w}", uniform("shared", w)))
-    # Positional sensitivity: 1-bit depthwise weights in one block,
-    # early vs deep (reference one-layer-at-a-time tail section).
+    # One case per family at its most aggressive width first...
+    cases.append(("dw_w2", uniform("dw_w", 2)))
+    cases.append(("expand_a2", uniform("expand_a", 2)))
+    cases.append(("proj_w2", uniform("proj_w", 2)))
+    cases.append(("shared_a3", uniform("shared", 3)))
+    # ...then positional sensitivity: 1-bit depthwise weights / 3-bit
+    # activations in ONE block, early vs deep (the reference study's
+    # one-layer-at-a-time tail section)...
     cases.append(("block1_dw_w1", one_block(1, [(8, 8), (1, 8), (8,)])))
     cases.append(("block15_dw_w1", one_block(15, [(8, 8), (1, 8), (8,)])))
-    # 3-bit activation ablation, early vs deep.
     cases.append(("block1_expand_a3", one_block(1, [(8, 3), (8, 8), (8,)])))
     cases.append(("block15_expand_a3", one_block(15, [(8, 3), (8, 8), (8,)])))
+    # ...then the milder widths filling each family's curve.
+    for w in (4, 3):
+        cases.append((f"dw_w{w}", uniform("dw_w", w)))
+    for w in (4, 3):
+        cases.append((f"expand_a{w}", uniform("expand_a", w)))
+    cases.append(("proj_w4", uniform("proj_w", 4)))
+    cases.append(("shared_a4", uniform("shared", 4)))
     return cases
 
 
