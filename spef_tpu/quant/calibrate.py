@@ -297,6 +297,11 @@ def calibrate_graph(
     g = dict(graph)
 
     def with_grid(layer: Dict[str, Any], site: str) -> Dict[str, Any]:
+        # Recipes with float interiors (boundary: int8 block edges only,
+        # `quant/convert.py:118-121` emits no act grid there) simply have
+        # no activation grid to calibrate at this site.
+        if "act_qmax" not in layer:
+            return layer
         layer = dict(layer)
         qmax = layer["act_qmax"]
         layer["act_step"] = site_amax(site, qmax) / qmax
@@ -308,7 +313,7 @@ def calibrate_graph(
         b = dict(blk)
         if f"block{i}.shared" in stats and "shared_step" in b:
             b["shared_step"] = site_amax(f"block{i}.shared", b["shared_qmax"]) / b["shared_qmax"]
-        if "expand" in b and "act_step" in b["expand"]:
+        if "expand" in b:
             b["expand"] = with_grid(b["expand"], f"block{i}.expand")
         b["depthwise"] = with_grid(b["depthwise"], f"block{i}.depthwise")
         new_blocks.append(b)

@@ -124,3 +124,29 @@ class TestCalibrateGraph:
             graph2["final_shared"]["step"] * graph2["final_shared"]["qmax"],
             amaxes["final_shared"], rtol=1e-5,
         )
+
+
+class TestBoundaryRecipeCalibration:
+    """Regression: boundary-recipe graphs have float interiors (no act grid
+    on expand/depthwise, `quant/convert.py:118-121`); calibrate_graph must
+    skip those sites instead of KeyError'ing ('act_qmax') as it did when the
+    R3C chip queue ran the boundary calibrate-then-QAT ladder."""
+
+    def test_calibrates_boundary_graph(self):
+        from spef_tpu.quant.bitwidth import boundary_bit_width
+
+        bw = boundary_bit_width(n_blocks=2)
+        model = import_model(
+            backbone_name="small_mobile_q", head_name="ursonet_q",
+            img_size=(48, 64), bit_width=bw, ori_mode="classification",
+            n_ori_bins=64, pos_mode="regression", seed=3,
+        )
+        graph = convert_qat_params(model, bw)
+        cal, amaxes = calibrate_graph(graph, _batches(2), method="percentile")
+        # Boundary sites calibrated, interior conv sites untouched (no grid).
+        assert "final_shared" in amaxes
+        for blk, cblk in zip(graph["blocks"], cal["blocks"]):
+            if "act_qmax" not in blk["depthwise"]:
+                assert "act_step" not in cblk["depthwise"]
+        for site, amax in amaxes.items():
+            assert np.isfinite(amax) and amax > 0, site

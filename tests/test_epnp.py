@@ -171,3 +171,50 @@ class TestRANSAC:
         # Inlier masks should exclude most planted outliers (median: an
         # individual sample can still draw unlucky subsets).
         assert np.median(np.asarray(inliers).sum(axis=-1)) >= 6
+
+
+class TestTPUNumerics:
+    def test_solver_forces_f32_matmul_precision(self):
+        """Regression for the TPU bf16-matmul failure: the 12x12 M^T M
+        null-space system at far range (1 m target, ~25 m depth) has
+        condition ~1e8; default TPU matmul precision (bf16 passes) produced
+        ~40 deg median orientation error on ground-truth keypoints.  The
+        solver must trace its dots with HIGHEST precision so the fix can't
+        silently regress (CPU tests can't observe the bf16 failure mode)."""
+        from spef_tpu.codec.epnp import _epnp_normalized
+
+        uv = jnp.zeros((11, 2), jnp.float32)
+        jaxpr = jax.make_jaxpr(lambda p, u: _epnp_normalized(p, u))(
+            jnp.asarray(TANGO_3D_KEYPOINTS), uv
+        )
+
+        def collect_dots(jxp):
+            for e in jxp.eqns:
+                if e.primitive.name == "dot_general":
+                    yield e
+                for v in e.params.values():
+                    inner = getattr(v, "jaxpr", None)
+                    if inner is not None:
+                        yield from collect_dots(inner)
+
+        dots = list(collect_dots(jaxpr.jaxpr))
+        assert dots, "expected dot_general ops in the EPnP jaxpr"
+        for e in dots:
+            prec = e.params.get("precision")
+            assert prec is not None and "HIGHEST" in str(prec), (
+                f"EPnP dot_general traced without HIGHEST precision: {prec}"
+            )
+
+    def test_gn_divergence_bounded_on_garbage_keypoints(self):
+        """Gauss-Newton refinement on nonsense keypoint predictions must not
+        blow up: the solver keeps the closed-form EPnP pose when refinement
+        increases reprojection error, and never returns non-finite or
+        astronomically scaled poses (the pre-fix keypoints run reported
+        position errors of 1e12 m)."""
+        rng = np.random.RandomState(0)
+        uv_garbage = jnp.asarray(rng.uniform(-2000, 4000, (8, 11, 2)).astype(np.float32))
+        K = jnp.asarray(SPEED_CAMERA.K, jnp.float32)
+        r, t = epnp_solve_batch(jnp.asarray(TANGO_3D_KEYPOINTS), uv_garbage, K)
+        assert np.isfinite(np.asarray(r)).all()
+        assert np.isfinite(np.asarray(t)).all()
+        assert np.linalg.norm(np.asarray(t), axis=-1).max() < 1e5
