@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--cache-dataset", action="store_true",
                         help="serve from the decoded-split disk cache "
                              "(written by train --cache-dataset)")
+    parser.add_argument("--ransac", action="store_true",
+                        help="keypoints mode: decode through the batched "
+                             "RANSAC PnP solver (robust to gross keypoint "
+                             "outliers) instead of plain EPnP")
     args = parser.parse_args(argv)
 
     set_seed(args.seed)
@@ -48,6 +52,7 @@ def main(argv=None):
         pos_mode=cfg.MODEL.HEAD.POS,
         n_pos_bins_per_dim=cfg.MODEL.HEAD.N_POS_BINS_PER_DIM,
         pos_smooth_factor=cfg.DATA.POS_SMOOTH_FACTOR,
+        keypoints_ransac=args.ransac,
     )
     data, split = load_dataset(data_path, args.batch_size, tuple(cfg.DATA.IMG_SIZE),
                                cache=args.cache_dataset)

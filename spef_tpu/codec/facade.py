@@ -36,6 +36,9 @@ class SPEUtils:
     orientation: OrientationSoftClassification
     position: PositionSoftClassification
     keypoints: Optional[KeyPoints]
+    # RANSAC PnP for keypoints-mode decode (robust to gross regressor
+    # outliers; ~16x solve cost — still negligible next to the backbone).
+    keypoints_ransac: bool = False
 
     @classmethod
     def create(
@@ -49,6 +52,7 @@ class SPEUtils:
         n_pos_bins_per_dim: int = 10,
         pos_smooth_factor: float = 100,
         use_keypoints: bool = True,
+        keypoints_ransac: bool = False,
     ) -> "SPEUtils":
         assert ori_mode in MODES and pos_mode in MODES
         orientation = OrientationSoftClassification.create(
@@ -66,6 +70,7 @@ class SPEUtils:
             orientation=orientation,
             position=position,
             keypoints=kp,
+            keypoints_ransac=keypoints_ransac,
         )
 
     # ------------------------------------------------------------------
@@ -92,7 +97,8 @@ class SPEUtils:
         pose = dict(pose)
         if self.ori_mode == "keypoints" and self.pos_mode == "keypoints":
             assert self.keypoints is not None
-            pose.update(self.keypoints.decode_batch(pose["keypoints"]))
+            pose.update(self.keypoints.decode_batch(
+                pose["keypoints"], ransac=self.keypoints_ransac))
             return pose
         if self.ori_mode == "classification":
             pose["ori"], _ = self.orientation.decode_batch(pose["ori_soft"])

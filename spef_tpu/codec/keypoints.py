@@ -107,12 +107,17 @@ class KeyPoints:
         uv = uv / norm
         return uv.reshape(*uv.shape[:-2], -1).astype(jnp.float32)
 
-    def decode_batch(self, keypoints2d: jax.Array) -> dict:
+    def decode_batch(self, keypoints2d: jax.Array, ransac: bool = False) -> dict:
         """Batched PnP decode of normalized keypoint predictions -> pose dict.
 
         ``keypoints2d``: (B, 2*(N+1)) normalized, origin first (which is
         dropped exactly like the reference drops it, `keypoints_utils.py:131`).
         Returns ``{'ori': (B,4), 'pos': (B,3)}``.
+
+        ``ransac=True`` decodes through the batched RANSAC solver
+        (:func:`spef_tpu.codec.epnp.epnp_ransac`) instead of plain EPnP —
+        robust to a minority of grossly-wrong keypoints from a trained
+        regressor, at ~16x the solve cost (still microseconds/frame).
         """
         kp = jnp.atleast_2d(keypoints2d)
         b = kp.shape[0]
@@ -123,7 +128,12 @@ class KeyPoints:
 
         K = jnp.asarray(self.camera.K, jnp.float32)
         dist = None if self.camera.dist_coeffs is None else jnp.asarray(self.camera.dist_coeffs, jnp.float32)
-        r, t = epnp_solve_batch(self.keypoints3d, uv_px, K, dist)
+        if ransac:
+            from spef_tpu.codec.epnp import epnp_ransac
+
+            r, t, _ = epnp_ransac(self.keypoints3d, uv_px, K, dist)
+        else:
+            r, t = epnp_solve_batch(self.keypoints3d, uv_px, K, dist)
         ori = dcm2quat(r).astype(jnp.float32)
         return {"ori": ori, "pos": t.astype(jnp.float32)}
 

@@ -218,3 +218,27 @@ class TestTPUNumerics:
         assert np.isfinite(np.asarray(r)).all()
         assert np.isfinite(np.asarray(t)).all()
         assert np.linalg.norm(np.asarray(t), axis=-1).max() < 1e5
+
+
+class TestRansacDecodeOption:
+    def test_decode_batch_ransac_recovers_with_outliers(self):
+        """KeyPoints.decode_batch(ransac=True) survives gross per-point
+        outliers that break plain EPnP — the robust decode path exposed to
+        keypoints-mode evaluation (`apps/eval.py --ransac`)."""
+        camera = SPEED_CAMERA
+        q, pos = make_poses(6, seed=11, z_range=(8, 15))
+        kp = KeyPoints.create(camera)
+        labels = np.asarray(kp.create_keypoints2d(jnp.asarray(q), jnp.asarray(pos)))
+        # Corrupt two keypoints per sample (indices 3, 7 of the 11; origin
+        # point 0 is dropped by the decoder).
+        bad = labels.copy()
+        bad[:, 2 * 4:2 * 4 + 2] += 0.4
+        bad[:, 2 * 8:2 * 8 + 2] -= 0.35
+
+        plain = kp.decode_batch(jnp.asarray(bad))
+        robust = kp.decode_batch(jnp.asarray(bad), ransac=True)
+        ang_plain = np.rad2deg(np.asarray(rot.quat_angle(jnp.asarray(q), plain["ori"])))
+        ang_rob = np.rad2deg(np.asarray(rot.quat_angle(jnp.asarray(q), robust["ori"])))
+        assert np.median(ang_rob) < np.median(ang_plain)
+        assert np.median(ang_rob) < 5.0
+        assert np.isfinite(np.asarray(robust["pos"])).all()
