@@ -65,3 +65,11 @@ PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python experiments/summarize_accuracy.py
 commit_stage "Keypoints-mode 50-epoch retrain: artifacts + eval through the fixed EPnP decode"
 
 echo "R3D chip queue complete"
+
+settle
+echo "== D. RANSAC vs plain EPnP decode on the retrained keypoints model =="
+timeout 2400 python -m spef_tpu.apps.eval \
+    --experiment experiments/train_synth/exp_keypoints_synth --batch-size 64 --ransac \
+    2>&1 | tee experiments/train_synth/keypoints50_eval_ransac.log | tail -4
+commit_stage "Keypoints decode A/B: RANSAC vs plain EPnP eval artifacts"
+echo "R3D stage D complete"
