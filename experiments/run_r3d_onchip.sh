@@ -73,3 +73,14 @@ timeout 2400 python -m spef_tpu.apps.eval \
     2>&1 | tee experiments/train_synth/keypoints50_eval_ransac.log | tail -4
 commit_stage "Keypoints decode A/B: RANSAC vs plain EPnP eval artifacts"
 echo "R3D stage D complete"
+
+settle
+echo "== E. re-tune per-node backends with slope timing + re-bench hybrid =="
+SPEF_PACK=1 timeout 6000 python benchmarks/tune_fused.py --recipe boundary \
+    2>&1 | tee experiments/fused_r3/tune_boundary_slope.log | tail -14
+settle
+SPEF_PACK=1 timeout 2700 python benchmarks/bench_paths.py \
+    --paths fused,carry --recipe boundary --parity \
+    2>&1 | tee experiments/fused_r3/bench_boundary_slope.log | tail -6
+commit_stage "Fused autotune rerun with slope timing: honest per-node backend plan + hybrid re-bench"
+echo "R3D stage E complete"

@@ -68,34 +68,56 @@ def lookup_tile(sig: str) -> Tuple[int, int]:
 
 
 def _time_fn(fn, x, iters: int = 10, warmup: int = 2) -> float:
-    """Median seconds/kernel-run, with ``iters`` runs fused into ONE jit call
-    via lax.scan so per-dispatch relay overhead (~5 ms/call through the axon
-    tunnel — it swamps sub-ms kernels) amortizes away.  Each iteration's
-    input is xor-perturbed (data dependence on the loop counter) so neither
-    XLA nor the relay can hoist or coalesce the kernel; the xor's cost is
-    shape-constant across candidates, so rankings are unaffected."""
+    """Seconds/kernel-run by SLOPE: time a short and a long lax.scan chain
+    and divide the difference by the iteration delta.
+
+    Why not total/iters: every blocking call through the axon tunnel pays a
+    ~30-45 ms relay round trip, so total/iters carries a ~3 ms/iter constant
+    floor at iters=10 — it flattened every sub-3ms kernel to the same number
+    and made per-node backend choices (fused vs XLA) essentially random
+    (round-3 postmortem: 12-signature table summed to 36 ms of "xla_ms"
+    against an 8.5 ms composed program).  The two-point slope cancels every
+    per-call constant (RTT, dispatch, arg transfer) exactly.
+
+    Each iteration's input is xor-perturbed (data dependence on the loop
+    counter) so neither XLA nor the relay can hoist or coalesce the kernel;
+    the xor's cost is shape-constant across candidates, so rankings are
+    unaffected."""
     import jax
     import jax.numpy as jnp
 
-    def run(x0):
-        def body(carry, i):
-            xi = jnp.bitwise_xor(carry, (i & 1).astype(carry.dtype))
-            y = fn(xi)
-            return carry, y.reshape(-1)[0]
-        _, ys = jax.lax.scan(body, x0, jnp.arange(iters, dtype=jnp.int32))
-        return ys
+    lo, hi = max(2, iters // 4), iters * 2
 
-    run = jax.jit(run)
-    for _ in range(max(warmup, 1)):
-        ys = run(x)
-    jax.block_until_ready(ys)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        ys = run(x)
+    def make(n):
+        def run(x0):
+            def body(carry, i):
+                xi = jnp.bitwise_xor(carry, (i & 1).astype(carry.dtype))
+                y = fn(xi)
+                return carry, y.reshape(-1)[0]
+            _, ys = jax.lax.scan(body, x0, jnp.arange(n, dtype=jnp.int32))
+            return ys
+        return jax.jit(run)
+
+    run_lo, run_hi = make(lo), make(hi)
+
+    def med(run):
+        for _ in range(max(warmup, 1)):
+            ys = run(x)
         jax.block_until_ready(ys)
-        times.append((time.perf_counter() - t0) / iters)
-    return float(np.median(times))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ys = run(x)
+            jax.block_until_ready(ys)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_lo, t_hi = med(run_lo), med(run_hi)
+    per_iter = (t_hi - t_lo) / (hi - lo)
+    # Noise guard: a non-positive slope means the kernel is far below the
+    # timer's resolution for this chain length — report the (tiny) bound
+    # rather than a negative/zero time.
+    return max(per_iter, 1e-7)
 
 
 def _candidates(ho: int) -> List[int]:
