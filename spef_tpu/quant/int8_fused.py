@@ -38,16 +38,19 @@ from spef_tpu.ops.pallas.fused_block import (
 __all__ = ["build_fused_forward", "plan_backends"]
 
 
-def plan_backends(graph: Dict[str, Any], img_hw) -> Dict[str, Any]:
+def plan_backends(graph: Dict[str, Any], img_hw,
+                  transition_ms: float = 0.15) -> Dict[str, Any]:
     """Per-node engine choice from the autotuner's measurements.
 
-    For every node signature with BOTH a fused-kernel time (``ms``) and a
-    conv-form XLA time (``xla_ms``) in the tuning table, pick the faster
-    backend; nodes never measured (or measured fused-only) default to the
-    fused kernel.  ``SPEF_ALL_FUSED=1`` forces the all-Pallas pipeline
-    (probe/analysis mode).  Transition costs between backends (one pad or
-    unpad HBM pass at each boundary) are not modeled — they are ~0.1-0.4 ms
-    against multi-ms node gaps; the end-to-end bench stays the arbiter.
+    A 2-state DP over the node chain minimizes
+    ``sum(node_time[backend]) + transition_ms * n_backend_switches``:
+    switching engines at a block boundary costs one pad/unpad (and, packed,
+    one relayout) HBM pass that per-node timing cannot see — round-3
+    measured an interleaved 7-fused/10-xla plan running 3x slower than
+    either pure path, so minority-backend nodes must EARN their boundary
+    crossings.  Nodes with only one measured time (or none) are pinned to
+    the fused kernel as before.  ``SPEF_ALL_FUSED=1`` forces the all-Pallas
+    pipeline (probe/analysis mode).
     """
     h, w = img_hw
     blocks = graph["blocks"]
@@ -56,18 +59,20 @@ def plan_backends(graph: Dict[str, Any], img_hw) -> Dict[str, Any]:
     from spef_tpu.quant.autotune import block_signature, load_tuning
 
     table = load_tuning()
+    big = 1e9
 
-    def pick(sig: str) -> str:
+    def times(sig: str):
+        """(fused_ms, xla_ms) with `big` pinning unmeasured engines."""
         e = table.get(sig)
-        if (e and e.get("xla_ms") is not None and e.get("ms") is not None
-                and e["xla_ms"] < e["ms"]):
-            return "xla"
-        return "fused"
+        if not e or e.get("ms") is None:
+            return 0.0, big  # never measured: pin fused at equal-cost
+        if e.get("xla_ms") is None:
+            return float(e["ms"]), big
+        return float(e["ms"]), float(e["xla_ms"])
 
     stem_cout = int(graph["stem"]["w_int"].shape[-1])
-    plan = {"stem": pick(block_signature("stem", h, w, 3, 12, stem_cout, 2))}
+    sigs = [block_signature("stem", h, w, 3, 12, stem_cout, 2)]
     cur_h, cur_w = h // 2, w // 2
-    picks = []
     for blk in blocks:
         d = blk["depthwise"]
         stride = d["stride"]
@@ -75,11 +80,32 @@ def plan_backends(graph: Dict[str, Any], img_hw) -> Dict[str, Any]:
                   else d["w_int"].shape[-1])
         ch = int(d["w_int"].shape[-1])
         co = int(blk["project"]["w_int"].shape[-1])
-        picks.append(pick(
-            block_signature("mbconv", cur_h, cur_w, cin, ch, co, stride)))
+        sigs.append(block_signature("mbconv", cur_h, cur_w, cin, ch, co, stride))
         cur_h, cur_w = cur_h // stride, cur_w // stride
-    plan["blocks"] = picks
-    return plan
+
+    node_t = [times(s) for s in sigs]  # [(fused, xla)] per node
+    # DP: cost[k][b] = best cost of nodes 0..k ending in backend b.
+    cost = list(node_t[0])
+    back: list = [[None, None]]
+    for f_ms, x_ms in node_t[1:]:
+        new = [0.0, 0.0]
+        ptr = [0, 0]
+        for b, t in ((0, f_ms), (1, x_ms)):
+            stay = cost[b]
+            switch = cost[1 - b] + transition_ms
+            ptr[b] = b if stay <= switch else 1 - b
+            new[b] = min(stay, switch) + t
+        cost = new
+        back.append(ptr)
+    b = 0 if cost[0] <= cost[1] else 1
+    choice = [b]
+    for ptr in reversed(back[1:]):
+        b = ptr[b]
+        choice.append(b)
+    choice.reverse()
+    names = ["fused", "xla"]
+    return {"stem": names[choice[0]],
+            "blocks": [names[c] for c in choice[1:]]}
 
 
 def _grid(step: float, qmax: float) -> Dict[str, float]:

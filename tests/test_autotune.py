@@ -133,3 +133,57 @@ def test_hybrid_backend_plan_and_parity(tmp_path, monkeypatch):
     assert calls, "xla-preferred block did not route through _xla_block"
     np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(out[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(out[1]), atol=1e-5)
+
+
+def test_plan_backends_charges_transitions(monkeypatch, tmp_path):
+    """The planner is a 2-state DP with a per-switch penalty: a node whose
+    measured advantage is SMALLER than the boundary cost must not flip the
+    plan (round-3 postmortem: an interleaved 7/10 plan ran 3x slower than
+    either pure path), while a large advantage still earns its crossings."""
+    import spef_tpu.quant.autotune as at
+    import spef_tpu.quant.int8_fused as fused
+    from spef_tpu.models.wrapper import import_model
+    from spef_tpu.quant.bitwidth import default_bit_width
+    from spef_tpu.quant.convert import convert_qat_params
+
+    bw = default_bit_width(n_blocks=3, w=8, a=8, shared=8)
+    model = import_model(
+        backbone_name="small_mobile_q", head_name="ursonet_q", img_size=(48, 64),
+        bit_width=bw, ori_mode="classification", n_ori_bins=64,
+        pos_mode="regression", seed=7,
+    )
+    graph = convert_qat_params(model, bw)
+
+    monkeypatch.setattr(at, "_TUNING_PATH", str(tmp_path / "t.json"))
+    monkeypatch.setattr(at, "_cache", None)
+
+    def sig_of(i, h, w):
+        blk = graph["blocks"][i]
+        d = blk["depthwise"]
+        cin = int(blk["expand"]["w_int"].shape[-2] if "expand" in blk
+                  else d["w_int"].shape[-1])
+        return at.block_signature(
+            "mbconv", h, w, cin, int(d["w_int"].shape[-1]),
+            int(blk["project"]["w_int"].shape[-1]), int(d["stride"]))
+
+    # Shapes walked by plan_backends for img (48, 64): stem halves to 24x32.
+    hw = [(24, 32)]
+    for blk in graph["blocks"][:-1]:
+        s = int(blk["depthwise"]["stride"])
+        hw.append((hw[-1][0] // s, hw[-1][1] // s))
+
+    # All nodes measured fused-favorable except block 1, whose xla edge
+    # (0.05 ms) is below the two switch crossings it would need.
+    table = {sig_of(i, *hw[i]): {"tile_oh": 8, "ms": 1.0, "xla_ms": 2.0}
+             for i in range(len(graph["blocks"]))}
+    marginal = sig_of(1, *hw[1])
+    table[marginal] = {"tile_oh": 8, "ms": 1.0, "xla_ms": 0.95}
+    at.save_tuning(table)
+    plan = fused.plan_backends(graph, (48, 64))
+    assert plan["blocks"][1] == "fused", plan  # 0.05 ms < 2 * 0.15 ms
+
+    # A decisive advantage still switches.
+    table[marginal] = {"tile_oh": 8, "ms": 1.0, "xla_ms": 0.2}
+    at.save_tuning(table)
+    plan = fused.plan_backends(graph, (48, 64))
+    assert plan["blocks"][1] == "xla", plan
