@@ -27,15 +27,32 @@ import numpy as np
 
 
 def _throughput(fn, args, iters, items):
+    """Pipelined throughput with data-dependent chaining: each iteration's
+    input depends on the previous output, so the remote execution relay
+    cannot coalesce repeated identical calls (unchained loops overreport —
+    PERFORMANCE.md 'Measurement gotcha'; same scheme as bench.py).  The
+    chain op is one elementwise add over the input (~1% of a batch step)."""
     import jax
+    import jax.numpy as jnp
+
+    x, rest = args[0], args[1:]
+
+    def chain(x, out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        # A finite activation is never exactly 2^31-1 after this cast, but
+        # the compiler cannot prove dep's value, so the data edge is real.
+        dep = (leaf.reshape(-1)[0].astype(jnp.float32) != 3.0e38).astype(x.dtype)
+        return x + dep
 
     out = None
     for _ in range(3):
-        out = fn(*args)
+        out = fn(x, *rest)
+        x = chain(x, out)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
+        out = fn(x, *rest)
+        x = chain(x, out)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     return {"items_per_sec": items / dt, "ms_per_batch": dt * 1e3}
