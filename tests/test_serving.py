@@ -65,3 +65,25 @@ def test_serve_stream_order_and_count(predict_fn):
     np.testing.assert_allclose(
         np.asarray(outs[3]["ori"]), np.asarray(direct["ori"]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_server_keypoints_mode():
+    """PoseServer serves a keypoints-mode model: the EPnP decode (batched,
+    f32-precision matmuls) runs inside the served program and yields unit
+    quaternions + finite positions for padded partial batches."""
+    from spef_tpu.data.camera import DSPEED_CAMERA
+
+    spe = SPEUtils.create(DSPEED_CAMERA, ori_mode="keypoints",
+                          pos_mode="keypoints", use_keypoints=True)
+    model = import_model(
+        backbone_name="small", head_name="keypoints_regression", img_size=(32, 32),
+        ori_mode="keypoints", pos_mode="keypoints", n_keypoint_outputs=24,
+    )
+    fn = build_predict_fn(model, spe)
+    server = PoseServer(fn, img_shape=(32, 32, 3), max_batch=16)
+    images = np.random.RandomState(3).randint(0, 256, (5, 32, 32, 3), np.uint8)
+    out, _ = server.predict(images)
+    assert out["ori"].shape == (5, 4)
+    assert out["pos"].shape == (5, 3)
+    np.testing.assert_allclose(np.linalg.norm(out["ori"], axis=-1), 1.0, atol=1e-4)
+    assert np.isfinite(out["pos"]).all()
