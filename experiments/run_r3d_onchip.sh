@@ -84,3 +84,20 @@ SPEF_PACK=1 timeout 2700 python benchmarks/bench_paths.py \
     2>&1 | tee experiments/fused_r3/bench_boundary_slope.log | tail -6
 commit_stage "Fused autotune rerun with slope timing: honest per-node backend plan + hybrid re-bench"
 echo "R3D stage E complete"
+
+settle
+echo "== F. complete the bit-width sensitivity sweep (resumable, per-case commits) =="
+for n in 7 8 9 10 11 12 13 14 15; do
+  timeout 2400 python experiments/bitwidth_sweep.py --subset "$n" \
+      2>&1 | tee -a experiments/bitwidth_sweep.log | tail -3
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python experiments/summarize_accuracy.py \
+      experiments/train_synth/exp_dspeed_synth experiments/accuracy_suite 2>&1 | tail -1
+  commit_stage "Bit-width sweep: case $n/15 results"
+done
+echo "R3D stage F complete"
+
+settle
+echo "== G. final bench.py validation =="
+timeout 1800 python bench.py 2>&1 | tee experiments/fused_r3/bench_py_r3d.log | tail -2
+commit_stage "Round-3 final bench validation artifact"
+echo "R3D queue fully complete"
