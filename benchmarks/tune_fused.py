@@ -57,6 +57,72 @@ def main():
                           if kk in v}
                       for k, v in table.items()}, indent=1, sort_keys=True))
 
+    # --- Graph-level plan arbitration -----------------------------------
+    # Isolated per-node times cannot see cross-node XLA fusion (round-3
+    # postmortem: 12 isolated-node xla_ms summed to 36 ms against an 8.5 ms
+    # composed carry program), so the composed program is the final
+    # arbiter: time the DP-hybrid, all-XLA, and all-fused plans end-to-end
+    # and persist the winner under plan_key(); plan_backends() honors it.
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spef_tpu.quant.autotune import load_tuning, save_tuning
+    from spef_tpu.quant.int8_fused import (
+        build_fused_forward, plan_backends, plan_key)
+
+    hw = (args.img, args.img)
+    n = len(graph["blocks"])
+    key = plan_key(graph, hw)
+    tbl = dict(load_tuning())
+    tbl.pop(key, None)  # arbitration must not read a stale winner
+    save_tuning(tbl)
+    candidates = {
+        "hybrid": plan_backends(graph, hw),
+        "all_xla": {"stem": "xla", "blocks": ["xla"] * n},
+        "all_fused": {"stem": "fused", "blocks": ["fused"] * n},
+    }
+
+    def bench_plan(plan):
+        fwd = build_fused_forward(graph, plan=plan)
+
+        def step(frames):
+            o, p = fwd(frames)
+            dep = (o.reshape(-1)[0] != jnp.float32(3e38)).astype(jnp.uint8)
+            return frames + dep, (o, p)
+
+        step = jax.jit(step)
+        frames = jnp.asarray(np.random.RandomState(7).randint(
+            0, 256, (args.batch, args.img, args.img, 3), dtype=np.uint8))
+        out = None
+        for _ in range(3):
+            frames, out = step(frames)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            frames, out = step(frames)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / args.iters * 1e3
+
+    timings = {}
+    for name, plan in candidates.items():
+        try:
+            timings[name] = round(bench_plan(plan), 3)
+            print(json.dumps({"plan_candidate": name, "ms": timings[name]}))
+        except Exception as exc:
+            print(json.dumps({"plan_candidate": name,
+                              "failed": type(exc).__name__}))
+    if timings:
+        winner = min(timings, key=timings.get)
+        tbl = dict(load_tuning())
+        tbl[key] = {**candidates[winner], "source": "graph-arb",
+                    "winner": winner, "timings_ms": timings,
+                    "batch": args.batch}
+        save_tuning(tbl)
+        print(json.dumps({"graph_plan": winner, "key": key,
+                          "timings_ms": timings}))
+
 
 if __name__ == "__main__":
     main()

@@ -35,30 +35,66 @@ from spef_tpu.ops.pallas.fused_block import (
     unpad_act_packed,
 )
 
-__all__ = ["build_fused_forward", "plan_backends"]
+__all__ = ["build_fused_forward", "plan_backends", "node_signatures", "plan_key"]
+
+
+def node_signatures(graph: Dict[str, Any], img_hw) -> list:
+    """Autotuner signature of every node (stem first), in execution order."""
+    from spef_tpu.quant.autotune import block_signature
+
+    h, w = img_hw
+    stem_cout = int(graph["stem"]["w_int"].shape[-1])
+    sigs = [block_signature("stem", h, w, 3, 12, stem_cout, 2)]
+    cur_h, cur_w = h // 2, w // 2
+    for blk in graph["blocks"]:
+        d = blk["depthwise"]
+        stride = d["stride"]
+        cin = int(blk["expand"]["w_int"].shape[-2] if "expand" in blk
+                  else d["w_int"].shape[-1])
+        ch = int(d["w_int"].shape[-1])
+        co = int(blk["project"]["w_int"].shape[-1])
+        sigs.append(block_signature("mbconv", cur_h, cur_w, cin, ch, co, stride))
+        cur_h, cur_w = cur_h // stride, cur_w // stride
+    return sigs
+
+
+def plan_key(graph: Dict[str, Any], img_hw) -> str:
+    """Tuning-table key for a persisted GRAPH-LEVEL plan (see tune_fused)."""
+    import hashlib
+
+    sigs = node_signatures(graph, img_hw)
+    return "plan:" + hashlib.md5("|".join(sigs).encode()).hexdigest()[:12]
 
 
 def plan_backends(graph: Dict[str, Any], img_hw,
                   transition_ms: float = 0.15) -> Dict[str, Any]:
     """Per-node engine choice from the autotuner's measurements.
 
-    A 2-state DP over the node chain minimizes
-    ``sum(node_time[backend]) + transition_ms * n_backend_switches``:
-    switching engines at a block boundary costs one pad/unpad (and, packed,
-    one relayout) HBM pass that per-node timing cannot see — round-3
-    measured an interleaved 7-fused/10-xla plan running 3x slower than
-    either pure path, so minority-backend nodes must EARN their boundary
-    crossings.  Nodes with only one measured time (or none) are pinned to
-    the fused kernel as before.  ``SPEF_ALL_FUSED=1`` forces the all-Pallas
-    pipeline (probe/analysis mode).
+    Resolution order:
+      1. ``SPEF_ALL_FUSED=1`` forces the all-Pallas pipeline (probe mode).
+      2. A persisted GRAPH-LEVEL plan (``plan:<hash>`` in the tuning table,
+         written by benchmarks/tune_fused.py's arbitration stage, which
+         times the composed candidate programs end-to-end) wins outright:
+         isolated per-node times cannot see cross-node XLA fusion, so the
+         composed measurement is the final arbiter.
+      3. Otherwise a 2-state DP over the node chain minimizes
+         ``sum(node_time[backend]) + transition_ms * n_switches``: switching
+         engines at a block boundary costs one pad/unpad (and, packed, one
+         relayout) HBM pass that per-node timing cannot see — round-3
+         measured an interleaved 7-fused/10-xla plan running 3x slower than
+         either pure path, so minority-backend nodes must EARN their
+         boundary crossings.  Nodes with only one measured time (or none)
+         are pinned to the fused kernel as before.
     """
-    h, w = img_hw
     blocks = graph["blocks"]
     if os.environ.get("SPEF_ALL_FUSED"):
         return {"stem": "fused", "blocks": ["fused"] * len(blocks)}
-    from spef_tpu.quant.autotune import block_signature, load_tuning
+    from spef_tpu.quant.autotune import load_tuning
 
     table = load_tuning()
+    stored = table.get(plan_key(graph, img_hw))
+    if stored and "blocks" in stored and len(stored["blocks"]) == len(blocks):
+        return {"stem": stored["stem"], "blocks": list(stored["blocks"])}
     big = 1e9
 
     def times(sig: str):
@@ -70,19 +106,7 @@ def plan_backends(graph: Dict[str, Any], img_hw,
             return float(e["ms"]), big
         return float(e["ms"]), float(e["xla_ms"])
 
-    stem_cout = int(graph["stem"]["w_int"].shape[-1])
-    sigs = [block_signature("stem", h, w, 3, 12, stem_cout, 2)]
-    cur_h, cur_w = h // 2, w // 2
-    for blk in blocks:
-        d = blk["depthwise"]
-        stride = d["stride"]
-        cin = int(blk["expand"]["w_int"].shape[-2] if "expand" in blk
-                  else d["w_int"].shape[-1])
-        ch = int(d["w_int"].shape[-1])
-        co = int(blk["project"]["w_int"].shape[-1])
-        sigs.append(block_signature("mbconv", cur_h, cur_w, cin, ch, co, stride))
-        cur_h, cur_w = cur_h // stride, cur_w // stride
-
+    sigs = node_signatures(graph, img_hw)
     node_t = [times(s) for s in sigs]  # [(fused, xla)] per node
     # DP: cost[k][b] = best cost of nodes 0..k ending in backend b.
     cost = list(node_t[0])
@@ -197,12 +221,19 @@ def _block_fusable(blk, h: int, w: int) -> bool:
     return True
 
 
-def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
-    """Close over the graph -> jittable ``images -> (ori, pos)``."""
+def build_fused_forward(graph: Dict[str, Any], interpret: bool = False,
+                        plan: Optional[Dict[str, Any]] = None):
+    """Close over the graph -> jittable ``images -> (ori, pos)``.
+
+    ``plan`` forces an explicit per-node backend plan (used by
+    benchmarks/tune_fused.py's graph-level arbitration); default is
+    :func:`plan_backends` at trace time.
+    """
     from spef_tpu.quant.int8_pallas import assert_int8_grids
 
     assert_int8_grids(graph, "build_fused_forward")
     blocks = graph["blocks"]
+    forced_plan = plan
 
     def forward(images: jax.Array):
         assert images.dtype == jnp.uint8, "fused pipeline takes uint8 frames"
@@ -225,7 +256,7 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False):
         # the executor runs whichever measured faster.  Bit-exact either way
         # (parity-tested), so this is pure schedule selection — the
         # FINN-folding / Ansor analogue extended to engine choice.
-        plan = plan_backends(graph, (hh, ww))
+        plan = forced_plan if forced_plan is not None else plan_backends(graph, (hh, ww))
 
         if fusable_stem and plan["stem"] == "fused":
             stem_packed = int(graph["stem"]["w_int"].shape[-1]) <= PACK_MAX_C

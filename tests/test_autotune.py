@@ -187,3 +187,54 @@ def test_plan_backends_charges_transitions(monkeypatch, tmp_path):
     at.save_tuning(table)
     plan = fused.plan_backends(graph, (48, 64))
     assert plan["blocks"][1] == "xla", plan
+
+
+def test_graph_level_plan_override(monkeypatch, tmp_path):
+    """A persisted graph-level plan (tune_fused arbitration winner) beats
+    the per-node DP: composed end-to-end measurement is the final arbiter
+    because isolated node times cannot see cross-node XLA fusion."""
+    import spef_tpu.quant.autotune as at
+    import spef_tpu.quant.int8_fused as fused
+    from spef_tpu.models.wrapper import import_model
+    from spef_tpu.quant.bitwidth import default_bit_width
+    from spef_tpu.quant.convert import convert_qat_params
+
+    bw = default_bit_width(n_blocks=2, w=8, a=4, shared=8)
+    bw["inverted_residual"] = [[(8, 4), (8, 4), (8,)] for _ in range(2)]
+    model = import_model(
+        backbone_name="small_mobile_q", head_name="ursonet_q", img_size=(48, 64),
+        bit_width=bw, ori_mode="classification", n_ori_bins=64,
+        pos_mode="regression", seed=7,
+    )
+    graph = convert_qat_params(model, bw)
+
+    monkeypatch.setattr(at, "_TUNING_PATH", str(tmp_path / "t.json"))
+    monkeypatch.setattr(at, "_cache", None)
+
+    # No table: DP defaults everything to fused.
+    assert fused.plan_backends(graph, (48, 64))["blocks"] == ["fused", "fused"]
+
+    stored = {"stem": "xla", "blocks": ["xla", "fused"],
+              "source": "graph-arb", "winner": "hybrid"}
+    at.save_tuning({fused.plan_key(graph, (48, 64)): stored})
+    plan = fused.plan_backends(graph, (48, 64))
+    assert plan == {"stem": "xla", "blocks": ["xla", "fused"]}
+
+    # An explicit plan= forces routing regardless of the table.
+    import jax.numpy as jnp
+    import numpy as np
+    images = jnp.asarray(
+        np.random.RandomState(1).randint(0, 256, (2, 48, 64, 3), dtype=np.uint8))
+    calls = []
+    orig = fused._xla_block
+    monkeypatch.setattr(fused, "_xla_block",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    all_xla = {"stem": "xla", "blocks": ["xla", "xla"]}
+    out = fused.build_fused_forward(graph, interpret=True, plan=all_xla)(images)
+    assert len(calls) == 2
+    monkeypatch.setattr(fused, "_xla_block", orig)
+    ref = fused.build_fused_forward(
+        graph, interpret=True,
+        plan={"stem": "fused", "blocks": ["fused", "fused"]})(images)
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(out[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(out[1]), atol=1e-5)
