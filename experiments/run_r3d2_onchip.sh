@@ -77,3 +77,10 @@ echo "== G. final bench.py validation =="
 timeout 1800 python bench.py 2>&1 | tee experiments/fused_r3/bench_py_r3d.log | tail -2
 commit_stage "Round-3 final bench validation artifact"
 echo "R3D2 queue fully complete"
+
+settle
+echo "== H. real-TPU test lane (post EPnP/planner changes) =="
+SPEF_TPU_TESTS=1 timeout 3600 python -m pytest tests/ -m tpu -q \
+    2>&1 | tee experiments/tpu_lane_r3d.log | tail -4
+commit_stage "Real-TPU test lane artifact (round-3 final)"
+echo "R3D2 stage H complete"
