@@ -48,6 +48,9 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--selftest-frames", type=int, default=2048)
     parser.add_argument("--frames-dir", default=None, help="serve real frames from here")
+    parser.add_argument("--ransac", action="store_true",
+                        help="keypoints mode: RANSAC PnP decode (robust to "
+                             "gross keypoint outliers) instead of plain EPnP")
     args = parser.parse_args(argv)
     if bool(args.experiment) == bool(args.artifact):
         parser.error("exactly one of --experiment / --artifact is required")
@@ -78,7 +81,10 @@ def main(argv=None):
         pos_mode=cfg.MODEL.HEAD.POS,
         n_pos_bins_per_dim=cfg.MODEL.HEAD.N_POS_BINS_PER_DIM,
         pos_smooth_factor=cfg.DATA.POS_SMOOTH_FACTOR,
-        use_keypoints=False,
+        # keypoints-mode experiments decode through EPnP inside the served
+        # program; other modes skip building the KeyPoints helper.
+        use_keypoints="keypoints" in (cfg.MODEL.HEAD.ORI, cfg.MODEL.HEAD.POS),
+        keypoints_ransac=args.ransac,
     )
     img_size = tuple(cfg.DATA.IMG_SIZE)
 

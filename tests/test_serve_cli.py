@@ -96,3 +96,34 @@ def test_serve_artifact_frames_dir(exp_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     for i in range(3):
         assert f"f{i}.png: q=" in out
+
+
+def test_serve_keypoints_experiment(tmp_path, capsys):
+    """Serving a keypoints-mode experiment builds the KeyPoints helper and
+    decodes through EPnP inside the served program (regression: serve
+    hardcoded use_keypoints=False and asserted out on keypoints configs)."""
+    from spef_tpu.apps.serve import main as serve_main
+    from spef_tpu.config.train_config import default_config, save_config
+
+    exp = tmp_path / "exp_kp"
+    (exp / "model").mkdir(parents=True)
+    cfg = default_config()
+    cfg.MODEL.BACKBONE.NAME = "small"
+    cfg.MODEL.HEAD.NAME = "keypoints_regression"
+    cfg.MODEL.HEAD.ORI = "keypoints"
+    cfg.MODEL.HEAD.POS = "keypoints"
+    cfg.MODEL.QUANTIZATION = False
+    cfg.DATA.PATH = "/nonexistent"
+    cfg.DATA.IMG_SIZE = [32, 48]
+    save_config(cfg, str(exp / "config.yaml"))
+
+    from spef_tpu.models.wrapper import save_model as _save
+    model = import_model(
+        backbone_name="small", head_name="keypoints_regression", img_size=(32, 48),
+        ori_mode="keypoints", pos_mode="keypoints", n_keypoint_outputs=24, seed=5,
+    )
+    _save(str(exp / "model"), model)
+
+    serve_main(["--experiment", str(exp), "--batch", "8", "--selftest-frames", "8"])
+    out = capsys.readouterr().out
+    assert "selftest:" in out and "frames/s" in out
