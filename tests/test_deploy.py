@@ -185,3 +185,34 @@ def test_serve_cli_artifact_selftest(float_setup, tmp_path, capsys):
     serve_main(["--artifact", path, "--selftest-frames", "8"])
     out = capsys.readouterr().out
     assert "Serving AOT artifact" in out and "frames/s sustained" in out
+
+
+def test_export_keypoints_mode_roundtrip(tmp_path):
+    """Keypoints-mode export: the EPnP decode (eigh/svd/LU custom calls)
+    serializes into the .spef artifact — single- and multi-platform — and
+    the reloaded engine decodes finite poses."""
+    from spef_tpu.codec.facade import SPEUtils
+    from spef_tpu.data.camera import DSPEED_CAMERA
+    from spef_tpu.deploy import export_predict, load_exported
+    from spef_tpu.engine import build_predict_fn
+    from spef_tpu.models.wrapper import import_model
+
+    spe = SPEUtils.create(DSPEED_CAMERA, ori_mode="keypoints", pos_mode="keypoints")
+    model = import_model(
+        backbone_name="small", head_name="keypoints_regression", img_size=(32, 48),
+        ori_mode="keypoints", pos_mode="keypoints", n_keypoint_outputs=24, seed=5,
+    )
+    fn = build_predict_fn(model, spe)
+
+    path = str(tmp_path / "kp.spef")
+    export_predict(fn, 4, (32, 48), path, platforms=["cpu"])
+    eng = load_exported(path)
+    imgs = np.random.RandomState(0).randint(0, 256, (4, 32, 48, 3), np.uint8)
+    out, _ = eng.predict(imgs)
+    assert out["ori"].shape == (4, 4) and out["pos"].shape == (4, 3)
+    assert np.isfinite(out["pos"]).all()
+    np.testing.assert_allclose(np.linalg.norm(out["ori"], axis=-1), 1.0, atol=1e-4)
+
+    # Multi-platform: the linalg custom calls must serialize for tpu too.
+    export_predict(fn, 4, (32, 48), str(tmp_path / "kp2.spef"),
+                   platforms=["tpu", "cpu"])
