@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from spef_tpu.models.layers import dense_init
 
-__all__ = ["URSONetHead", "KeypointRegressionHead"]
+__all__ = ["URSONetHead", "KeypointRegressionHead", "KeypointHeatmapHead"]
 
 
 class URSONetHead(nn.Module):
@@ -58,3 +58,45 @@ class KeypointRegressionHead(nn.Module):
         x = nn.Dense(self.n_outputs, use_bias=self.use_bias,
                      kernel_init=dense_init, name="fc")(x)
         return x
+
+
+class KeypointHeatmapHead(nn.Module):
+    """Integral (soft-argmax) keypoint head — the TPU-first alternative to
+    the reference's flatten->FC regressor.
+
+    1x1 conv -> K spatial heatmaps -> per-keypoint spatial softmax ->
+    expected (x, y) over pixel-center grids, i.e. fully differentiable
+    integral regression (Sun et al., "Integral Human Pose Regression") —
+    everything batched matmuls/softmax on the MXU/VPU, no flatten-sized FC.
+
+    The head returns LOGITS of the normalized coordinates so the pipeline's
+    standard keypoints activation (sigmoid, reference parity with
+    `head/keypoints.py`) reconstructs the coordinates exactly:
+    ``sigmoid(logit(p)) == p``.  No plumbing changes anywhere — training
+    loss, facade activation, EPnP decode, serving, and export all see the
+    same contract as the regression head.  Like the reference's
+    sigmoid-bounded regressor, predictions live in (0, 1): keypoints
+    projecting outside the frame saturate at the border for both heads.
+    """
+
+    n_outputs: int = 24  # 2 * (K keypoints incl. the prepended origin)
+    temperature: float = 1.0  # heatmap softmax sharpness
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        assert self.n_outputs % 2 == 0
+        k = self.n_outputs // 2
+        b, h, w, _ = x.shape
+        x = x.astype(jnp.float32)
+        logits = nn.Conv(k, (1, 1), use_bias=True, name="heatmap_conv")(x)  # (B,H,W,K)
+        flat = logits.reshape(b, h * w, k) / self.temperature
+        p = jax.nn.softmax(flat, axis=1).reshape(b, h, w, k)
+        # Pixel-center coordinate grids in [0, 1].
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        ex = jnp.einsum("bhwk,w->bk", p, xs)
+        ey = jnp.einsum("bhwk,h->bk", p, ys)
+        coords = jnp.stack([ex, ey], axis=-1).reshape(b, self.n_outputs)
+        eps = 1e-6
+        coords = jnp.clip(coords, eps, 1.0 - eps)
+        return jnp.log(coords / (1.0 - coords))  # logit: downstream sigmoid inverts

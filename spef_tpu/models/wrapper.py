@@ -24,7 +24,8 @@ import numpy as np
 from flax import linen as nn
 from flax import serialization
 
-from spef_tpu.models.heads import KeypointRegressionHead, URSONetHead
+from spef_tpu.models.heads import (
+    KeypointHeatmapHead, KeypointRegressionHead, URSONetHead)
 from spef_tpu.models.mobilenet_v2 import MobileNetV2, SmallBackbone, SmallMobile
 
 __all__ = ["ModelWrapper", "SPEModel", "import_model", "save_model", "load_model_params"]
@@ -128,7 +129,10 @@ def import_model(
         backbone = _BACKBONES[backbone_name](cfg)
 
     if ori_mode == "keypoints":
-        head: nn.Module = KeypointRegressionHead(n_outputs=n_keypoint_outputs)
+        if head_name == "keypoints_heatmap":
+            head: nn.Module = KeypointHeatmapHead(n_outputs=n_keypoint_outputs)
+        else:
+            head = KeypointRegressionHead(n_outputs=n_keypoint_outputs)
     else:
         n_ori = 4 if ori_mode == "regression" else int(n_ori_bins)
         n_pos = 3 if pos_mode == "regression" else int(n_pos_bins)
