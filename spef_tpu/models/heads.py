@@ -81,13 +81,27 @@ class KeypointHeatmapHead(nn.Module):
 
     n_outputs: int = 24  # 2 * (K keypoints incl. the prepended origin)
     temperature: float = 1.0  # heatmap softmax sharpness
+    upsample: int = 2  # resize+conv refinement stages (4x heatmap resolution)
+    refine_ch: int = 128  # channels in the upsampling convs
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         assert self.n_outputs % 2 == 0
         k = self.n_outputs // 2
-        b, h, w, _ = x.shape
         x = x.astype(jnp.float32)
+        # Backbone stride leaves the feature map coarse (8x12 at 240x384);
+        # resize+conv stages sharpen localization like the simple-baselines
+        # deconv stack, but resize+conv avoids checkerboard artifacts and
+        # lowers to plain XLA convs on the MXU.
+        for i in range(self.upsample):
+            b_, h_, w_, _ = x.shape
+            x = jax.image.resize(x, (b_, 2 * h_, 2 * w_, x.shape[-1]), "nearest")
+            x = nn.Conv(self.refine_ch, (3, 3), use_bias=False,
+                        name=f"up{i}_conv")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             name=f"up{i}_bn")(x)
+            x = nn.relu(x)
+        b, h, w, _ = x.shape
         logits = nn.Conv(k, (1, 1), use_bias=True, name="heatmap_conv")(x)  # (B,H,W,K)
         flat = logits.reshape(b, h * w, k) / self.temperature
         p = jax.nn.softmax(flat, axis=1).reshape(b, h, w, k)
