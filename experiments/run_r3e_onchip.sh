@@ -53,11 +53,16 @@ done
 settle
 echo "== I. heatmap-head keypoints training run =="
 rm -rf "$KPH"
+# Warm start from the retrained keypoints regressor's backbone (keypoint-
+# adapted features) when it exists; the flagship otherwise.  Only matching
+# parameter names transfer, so the heatmap head trains from init either way.
+WS=experiments/train_synth/exp_keypoints_synth/model/parameters.msgpack
+[ -f "$WS" ] || WS="$EXP/model/parameters.msgpack"
 timeout 10800 python -m spef_tpu.apps.train \
     --config configs/exp_keypoints_heatmap_synth.yaml \
     --out experiments/train_synth --device-data --device-augment \
     --epochs 50 \
-    --warm-start "$EXP/model/parameters.msgpack" \
+    --warm-start "$WS" \
     2>&1 | tee experiments/train_synth/keypoints_heatmap.log | tail -8
 settle
 timeout 2400 python -m spef_tpu.apps.eval \
