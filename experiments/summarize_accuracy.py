@@ -236,6 +236,22 @@ def main(exp_dir, suite_dir, out_path=None):
             "|---|---|---|---|---|",
             f"| keypoints+EPnP | {_fmt(et)} | {_fmt(ev)} | {_fmt(ot)} | {_fmt(pt)} |",
         ]
+        kpr = _load(os.path.join(kp_dir, "eval_score_error_ransac.json"))
+        if kpr:
+            et, ot, pt = esa_row(kpr["scores"], "test")
+            ev, _, _ = esa_row(kpr["scores"], "valid")
+            lines.append(
+                f"| keypoints+RANSAC PnP | {_fmt(et)} | {_fmt(ev)} | {_fmt(ot)} | {_fmt(pt)} |")
+        kph = _load(os.path.join(os.path.dirname(kp_dir),
+                                 "exp_keypoints_heatmap_synth",
+                                 "eval_score_error.json")) \
+            or _load(os.path.join(os.path.dirname(kp_dir),
+                                  "exp_keypoints_heatmap_synth", "score_error.json"))
+        if kph:
+            et, ot, pt = esa_row(kph["scores"], "test")
+            ev, _, _ = esa_row(kph["scores"], "valid")
+            lines.append(
+                f"| heatmap head (integral) + EPnP | {_fmt(et)} | {_fmt(ev)} | {_fmt(ot)} | {_fmt(pt)} |")
 
     sweep = _load(os.path.join(os.path.dirname(suite_dir.rstrip("/")),
                                "bitwidth_sweep", "results.json")) \

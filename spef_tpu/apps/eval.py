@@ -87,7 +87,10 @@ def main(argv=None):
             f"ori_err={rec_error[phase]['ori'][0]:.2f}deg (+/-{rec_error[phase]['ori_std'][0]:.2f}) "
             f"pos_err={rec_error[phase]['pos'][0]:.3f}m (+/-{rec_error[phase]['pos_std'][0]:.3f})"
         )
-    save_score_error(args.experiment, rec_score, rec_error, name="eval_score_error")
+    # RANSAC-decode results get their own sidecar so A/B runs don't
+    # overwrite the plain-EPnP evaluation.
+    name = "eval_score_error_ransac" if args.ransac else "eval_score_error"
+    save_score_error(args.experiment, rec_score, rec_error, name=name)
 
 
 if __name__ == "__main__":
