@@ -79,10 +79,23 @@ def main():
     tbl.pop(key, None)  # arbitration must not read a stale winner
     save_tuning(tbl)
     candidates = {
-        "hybrid": plan_backends(graph, hw),
         "all_xla": {"stem": "xla", "blocks": ["xla"] * n},
         "all_fused": {"stem": "fused", "blocks": ["fused"] * n},
     }
+    # DP plans across a transition-penalty sweep: a higher penalty trades
+    # minority-backend per-node wins for contiguity (fewer packed<->dense
+    # relayout crossings), degenerating to a pure plan at the extreme — the
+    # cheap way to enumerate "contiguous fused runs" without timing every
+    # crossover point.  Identical plans dedupe before the (compile + e2e
+    # timing) cost of a candidate is paid.
+    seen = {(p["stem"], tuple(p["blocks"])) for p in candidates.values()}
+    for name, pen in (("hybrid", 0.15), ("hybrid_p05", 0.05),
+                      ("hybrid_p40", 0.4), ("hybrid_p100", 1.0)):
+        p = plan_backends(graph, hw, transition_ms=pen)
+        sig = (p["stem"], tuple(p["blocks"]))
+        if sig not in seen:
+            seen.add(sig)
+            candidates[name] = p
 
     def bench_plan(plan):
         fwd = build_fused_forward(graph, plan=plan)

@@ -238,3 +238,57 @@ def test_graph_level_plan_override(monkeypatch, tmp_path):
         plan={"stem": "fused", "blocks": ["fused", "fused"]})(images)
     np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(out[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(out[1]), atol=1e-5)
+
+
+def test_penalty_sweep_yields_contiguous_runs(monkeypatch, tmp_path):
+    """tune_fused's arbitration sweeps the DP transition penalty to generate
+    contiguous-run candidates: with alternating per-node winners, raising
+    transition_ms must monotonically reduce backend switches, reaching a
+    pure single-backend plan at the extreme."""
+    import spef_tpu.quant.autotune as at
+    import spef_tpu.quant.int8_fused as fused
+    from spef_tpu.models.wrapper import import_model
+    from spef_tpu.quant.bitwidth import default_bit_width
+    from spef_tpu.quant.convert import convert_qat_params
+
+    bw = default_bit_width(n_blocks=4, w=8, a=8, shared=8)
+    model = import_model(
+        backbone_name="small_mobile_q", head_name="ursonet_q", img_size=(48, 64),
+        bit_width=bw, ori_mode="classification", n_ori_bins=64,
+        pos_mode="regression", seed=7,
+    )
+    graph = convert_qat_params(model, bw)
+
+    monkeypatch.setattr(at, "_TUNING_PATH", str(tmp_path / "t.json"))
+    monkeypatch.setattr(at, "_cache", None)
+
+    def sig_of(i, h, w):
+        blk = graph["blocks"][i]
+        d = blk["depthwise"]
+        cin = int(blk["expand"]["w_int"].shape[-2] if "expand" in blk
+                  else d["w_int"].shape[-1])
+        return at.block_signature(
+            "mbconv", h, w, cin, int(d["w_int"].shape[-1]),
+            int(blk["project"]["w_int"].shape[-1]), int(d["stride"]))
+
+    hw = [(24, 32)]
+    for blk in graph["blocks"][:-1]:
+        s = int(blk["depthwise"]["stride"])
+        hw.append((hw[-1][0] // s, hw[-1][1] // s))
+
+    # Alternating winners with a modest (0.2 ms) edge each way.
+    table = {}
+    for i in range(len(graph["blocks"])):
+        f, x = (1.0, 1.2) if i % 2 == 0 else (1.2, 1.0)
+        table[sig_of(i, *hw[i])] = {"tile_oh": 8, "ms": f, "xla_ms": x}
+    at.save_tuning(table)
+
+    def n_switches(plan):
+        chain = [plan["stem"]] + plan["blocks"]
+        return sum(a != b for a, b in zip(chain, chain[1:]))
+
+    sw = [n_switches(fused.plan_backends(graph, (48, 64), transition_ms=t))
+          for t in (0.05, 0.15, 1.0)]
+    assert sw[0] >= sw[1] >= sw[2], sw
+    assert sw[0] > 0, "low penalty should follow the alternating winners"
+    assert sw[2] == 0, "extreme penalty must degenerate to a pure plan"
