@@ -486,12 +486,41 @@ def epnp_ransac(
 
         rs, ts, inl, counts = jax.vmap(hypothesis)(subsets)
         best = jnp.argmax(counts)
-        r, t, inliers = rs[best], ts[best], inl[best]
+        r0, t0, inliers = rs[best], ts[best], inl[best]
+
+        # Full-set anchor: on a noisy regressor no hypothesis may reach a
+        # real consensus, and argmax then picks a degenerate minimal-subset
+        # solve whose refinement can diverge kilometres (observed: position
+        # errors of 1e5 m on trained-keypoint eval).  The all-point solve
+        # (== epnp_solve_batch's answer) is the stable fallback; a
+        # hypothesis wins only by STRICTLY beating it on inlier count.
+        rf0, tf0 = _epnp_normalized(pts3d, uv)
+        rf, tf = _refine_pose(rf0, tf0, pts3d, uv)
+        ef0 = _reproj_error(rf0, tf0, pts3d, uv)
+        ef1 = _reproj_error(rf, tf, pts3d, uv)
+        worse_f = ~(jnp.isfinite(ef1) & (ef1 <= ef0))
+        rf = jnp.where(worse_f, rf0, rf)
+        tf = jnp.where(worse_f, tf0, tf)
+        pcf = pts3d @ rf.T + tf
+        projf = pcf[:, :2] / jnp.maximum(pcf[:, 2:3], 1e-6)
+        errf = jnp.linalg.norm(projf - uv, axis=-1)
+        inliers_f = (errf < thr_norm) & (pcf[:, 2] > 0)
+
+        use_hyp = counts[best] > jnp.sum(inliers_f)
+        r0 = jnp.where(use_hyp, r0, rf)
+        t0 = jnp.where(use_hyp, t0, tf)
+        inliers = jnp.where(use_hyp, inliers, inliers_f)
+        r, t = r0, t0
 
         if refine:
             # GN refinement weighted by the inlier mask (soft: outliers get
             # zero residual weight via masking).
             w = inliers.astype(jnp.float32)[:, None]
+
+            def masked_err(r_, t_):
+                pc = pts3d @ r_.T + t_
+                proj = pc[:, :2] / jnp.maximum(pc[:, 2:3], 1e-6)
+                return jnp.sum(((proj - uv) * w) ** 2)
 
             def body(_, rt):
                 r, t = rt
@@ -522,6 +551,14 @@ def epnp_ransac(
                 return (r_new, t + delta[3:])
 
             r, t = jax.lax.fori_loop(0, _GN_ITERS, body, (r, t))
+            # Same divergence guard as epnp_solve_batch: keep the refined
+            # pose only when it actually reduces the (inlier-masked)
+            # reprojection error and stays finite.
+            e0 = masked_err(r0, t0)
+            e1 = masked_err(r, t)
+            worse = ~(jnp.isfinite(e1) & (e1 <= e0))
+            r = jnp.where(worse, r0, r)
+            t = jnp.where(worse, t0, t)
         bad = ~(jnp.all(jnp.isfinite(r)) & jnp.all(jnp.isfinite(t)))
         r = jnp.where(bad, jnp.eye(3, dtype=r.dtype), r)
         t = jnp.where(bad, jnp.asarray([0.0, 0.0, 10.0], t.dtype), t)

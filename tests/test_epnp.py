@@ -172,6 +172,35 @@ class TestRANSAC:
         # individual sample can still draw unlucky subsets).
         assert np.median(np.asarray(inliers).sum(axis=-1)) >= 6
 
+    def test_no_consensus_falls_back_to_full_set(self):
+        """Heavy noise on EVERY keypoint (a weak regressor, not sparse
+        outliers): no minimal subset reaches a real consensus, and pre-fix
+        the argmax hypothesis' inlier-masked GN refinement could diverge to
+        ~1e5 m positions (observed on the trained-keypoints RANSAC A/B).
+        With the full-set anchor, RANSAC must never be materially worse
+        than the plain all-point solve."""
+        from spef_tpu.codec.epnp import epnp_ransac
+
+        camera = SPEED_CAMERA
+        q, pos = make_poses(32, seed=13, z_range=(6, 30))
+        kp = KeyPoints.create(camera)
+        uv = np.asarray(kp.project(jnp.asarray(q), jnp.asarray(pos)))[:, 1:, :]
+        rng = np.random.RandomState(14)
+        uv_noisy = uv + rng.randn(*uv.shape) * 40.0
+
+        K = jnp.asarray(camera.K, jnp.float32)
+        r_r, t_r, _ = epnp_ransac(
+            jnp.asarray(TANGO_3D_KEYPOINTS), jnp.asarray(uv_noisy), K,
+            key=jax.random.PRNGKey(5),
+        )
+        r_p, t_p = epnp_solve_batch(
+            jnp.asarray(TANGO_3D_KEYPOINTS), jnp.asarray(uv_noisy), K)
+        err_r = np.linalg.norm(np.asarray(t_r) - pos, axis=-1)
+        err_p = np.linalg.norm(np.asarray(t_p) - pos, axis=-1)
+        assert np.isfinite(err_r).all()
+        assert err_r.max() < 1e3, err_r
+        assert np.median(err_r) <= np.median(err_p) * 1.5 + 0.5
+
 
 class TestTPUNumerics:
     def test_solver_forces_f32_matmul_precision(self):
