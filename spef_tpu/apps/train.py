@@ -90,6 +90,7 @@ def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 10
         head_name=cfg.MODEL.HEAD.NAME,
         img_size=tuple(cfg.DATA.IMG_SIZE),
         params_path=cfg.MODEL.PRETRAINED_PATH or None,
+        pretrained_path=cfg.MODEL.PRETRAINED_BACKBONE or None,
         bit_width=bit_width,
         residual=cfg.MODEL.BACKBONE.RESIDUAL,
         quantization=cfg.MODEL.QUANTIZATION,
@@ -206,6 +207,11 @@ def main(argv=None):
                              "head, keep their fresh init) — the in-env "
                              "equivalent of the reference's ImageNet warm "
                              "start")
+    parser.add_argument("--pretrained-backbone", default="",
+                        help="torchvision-format MobileNetV2 ImageNet "
+                             "checkpoint (.npz or torch state_dict) ingested "
+                             "into the backbone before training (reference "
+                             "`model.py:268-277`)")
     args = parser.parse_args(argv)
 
     if args.config:
@@ -225,6 +231,8 @@ def main(argv=None):
             continue
         try:
             cfg = load_config(paths["config"])
+            if args.pretrained_backbone:
+                cfg.MODEL.PRETRAINED_BACKBONE = args.pretrained_backbone
             run_experiment(name, cfg, paths["bit_width"], args.out, args.seed,
                            data_parallel=args.data_parallel,
                            cache_dataset="device" if args.device_data

@@ -21,6 +21,9 @@ def default_config() -> CfgNode:
 
     c.MODEL = CfgNode()
     c.MODEL.PRETRAINED_PATH = ""
+    # torchvision-format MobileNetV2 ImageNet checkpoint (.npz or torch
+    # state_dict) to ingest into the backbone (`model.py:268-277` analogue).
+    c.MODEL.PRETRAINED_BACKBONE = ""
     c.MODEL.MANUAL_COPY = True
     c.MODEL.QUANTIZATION = False
 

@@ -107,6 +107,7 @@ def import_model(
     n_pos_bins: Optional[int] = None,
     n_keypoint_outputs: int = 24,
     seed: int = 1001,
+    pretrained_path: Optional[str] = None,
 ) -> SPEModel:
     """Build (and optionally load) a model.
 
@@ -155,6 +156,13 @@ def import_model(
         head_name=head_name,
         bit_width=bit_width,
     )
+    if pretrained_path is not None:
+        # ImageNet warm-start of the backbone, like the reference's
+        # torchvision ingestion (`src/modeling/model.py:268-277`).
+        from spef_tpu.models.pretrained import load_pretrained_backbone
+
+        assert os.path.isfile(pretrained_path), f"Pretrained weights not found {pretrained_path}"
+        model.variables = load_pretrained_backbone(pretrained_path, model.variables)
     if params_path is not None:
         assert os.path.isfile(params_path), f"Parameters not found {params_path}"
         model.variables = load_model_params(params_path, model.variables)
