@@ -80,23 +80,10 @@ def main(argv=None):
 
             forward_fn, variant = build_int8_forward(graph), "int8"
 
-    # A bit_width.json marks a QAT checkpoint: the saved parameters belong
-    # to the quantized module variants, so map names to their `_q` forms
-    # (ladder configs store the float names — same rule as
-    # experiments/reeval_int8.py and the build_int8 outputs).
-    bw_path = os.path.join(args.experiment, "model", "bit_width.json")
-    bit_width = None
-    backbone_name, head_name = cfg.MODEL.BACKBONE.NAME, cfg.MODEL.HEAD.NAME
-    if os.path.isfile(bw_path):
-        from spef_tpu.quant.bitwidth import load_bit_width
+    from spef_tpu.quant.bitwidth import experiment_model_names
 
-        bit_width = load_bit_width(bw_path)
-
-        def q_name(name):
-            name = name.replace("_pytorch", "").replace("_brevitas", "")
-            return name if name.endswith("_q") else name + "_q"
-
-        backbone_name, head_name = q_name(backbone_name), q_name(head_name)
+    backbone_name, head_name, bit_width = experiment_model_names(
+        args.experiment, cfg.MODEL.BACKBONE.NAME, cfg.MODEL.HEAD.NAME)
 
     model = import_model(
         backbone_name=backbone_name,

@@ -110,9 +110,25 @@ class GuiBackend:
         self._lock = threading.Lock()
         self.exp_name: Optional[str] = None
         self.split_name: Optional[str] = None
+        self.engine_name: str = "float"
         self.records: List = []
         self.idx = 0
         self._select(next(iter(self.experiments)), next(iter(self.splits)))
+
+    # -- engine variants ------------------------------------------------------
+
+    def _set_engine(self, variant: str) -> None:
+        """Hot-switch the inference target (reference `gui.py:470-474`)."""
+        from spef_tpu.engine import build_engine_variant
+        from spef_tpu.temporal.inference import Inference
+
+        if variant not in self.engines:
+            raise KeyError(f"engine {variant!r} not available for {self.exp_name} "
+                           f"(have {self.engines})")
+        self.engine = build_engine_variant(
+            self.experiments[self.exp_name], self.model, self.spe_utils, variant)
+        self.inference = Inference(self.engine, self.spe_utils)
+        self.engine_name = variant
 
     # -- state management ---------------------------------------------------
 
@@ -120,9 +136,7 @@ class GuiBackend:
         from spef_tpu.codec.facade import SPEUtils
         from spef_tpu.config.train_config import load_config
         from spef_tpu.data.camera import load_camera
-        from spef_tpu.engine import SPEJax
         from spef_tpu.models.wrapper import import_model
-        from spef_tpu.temporal.inference import Inference
         from spef_tpu.utils.visualize import VisualizePose
 
         exp = self.experiments[name]
@@ -140,23 +154,31 @@ class GuiBackend:
             use_keypoints=True,
         )
         params = os.path.join(exp, "model", "parameters.msgpack")
+        from spef_tpu.quant.bitwidth import experiment_model_names
+
+        backbone_name, head_name, bit_width = experiment_model_names(
+            exp, cfg.MODEL.BACKBONE.NAME, cfg.MODEL.HEAD.NAME)
         model = import_model(
-            backbone_name=cfg.MODEL.BACKBONE.NAME,
-            head_name=cfg.MODEL.HEAD.NAME,
+            backbone_name=backbone_name,
+            head_name=head_name,
             img_size=tuple(cfg.DATA.IMG_SIZE),
             params_path=params if os.path.isfile(params) else None,
+            bit_width=bit_width,
             residual=cfg.MODEL.BACKBONE.RESIDUAL,
-            quantization=cfg.MODEL.QUANTIZATION,
+            quantization=cfg.MODEL.QUANTIZATION or bit_width is not None,
             ori_mode=cfg.MODEL.HEAD.ORI,
             n_ori_bins=self.spe_utils.orientation.n_bins,
             pos_mode=cfg.MODEL.HEAD.POS,
             n_pos_bins=self.spe_utils.position.n_bins,
         )
         self.cfg = cfg
-        self.engine = SPEJax(model, self.spe_utils)
-        self.inference = Inference(self.engine, self.spe_utils)
+        self.model = model
         self.viz = VisualizePose(self.spe_utils)
         self.exp_name = name
+        from spef_tpu.engine import discover_engine_variants
+
+        self.engines = discover_engine_variants(exp)
+        self._set_engine("float")
 
     def _load_split(self, name: str) -> None:
         from spef_tpu.data.dataset import Manifest
@@ -166,21 +188,31 @@ class GuiBackend:
         self.split_name = name
         self.idx = 0
 
-    def _select(self, exp: Optional[str], split: Optional[str]) -> None:
+    def _select(self, exp: Optional[str], split: Optional[str],
+                engine: Optional[str] = None) -> None:
+        exp_switched = False
         if exp and exp != self.exp_name:
             if exp not in self.experiments:
                 raise KeyError(f"unknown experiment {exp!r}")
             self._load_experiment(exp)
             self.reset()
+            exp_switched = True
         if split and split != self.split_name:
             if split not in self.splits:
                 raise KeyError(f"unknown split {split!r}")
             self._load_split(split)
             self.reset()
+        if engine and engine != self.engine_name:
+            if exp_switched and engine not in self.engines:
+                pass  # exp switch carried a stale engine name; stay on float
+            else:
+                self._set_engine(engine)
+                self.reset()
 
-    def select(self, exp: Optional[str] = None, split: Optional[str] = None) -> Dict:
+    def select(self, exp: Optional[str] = None, split: Optional[str] = None,
+               engine: Optional[str] = None) -> Dict:
         with self._lock:
-            self._select(exp, split)
+            self._select(exp, split, engine)
             return self.state()
 
     def reset(self) -> None:
@@ -193,6 +225,8 @@ class GuiBackend:
             "splits": list(self.splits),
             "experiment": self.exp_name,
             "split": self.split_name,
+            "engines": self.engines,
+            "engine": self.engine_name,
             "n_frames": len(self.records),
             "idx": self.idx,
             "img_size": list(self.cfg.DATA.IMG_SIZE),
@@ -286,7 +320,7 @@ _PAGE = """<!doctype html>
 </style></head><body>
 <div id="left">
  <div>
-  <select id="exp"></select><select id="split"></select>
+  <select id="exp"></select><select id="split"></select><select id="eng" title="inference engine"></select>
   <button id="prev">&#9664; prev</button><button id="next">next &#9654;</button>
   <button id="run">run</button><button id="reset">reset</button>
   <label><input type="checkbox" id="video" checked> temporal filter</label>
@@ -338,13 +372,14 @@ async function state(){
  const d=await(await fetch("/api/state")).json();
  $("exp").innerHTML=d.experiments.map(e=>`<option ${e==d.experiment?"selected":""}>${e}</option>`).join("");
  $("split").innerHTML=d.splits.map(s=>`<option ${s==d.split?"selected":""}>${s}</option>`).join("");
+ $("eng").innerHTML=d.engines.map(e=>`<option ${e==d.engine?"selected":""}>${e}</option>`).join("");
  idx=d.idx;n=d.n_frames;
 }
 async function select(){
- await fetch("/api/select",{method:"POST",body:JSON.stringify({experiment:$("exp").value,split:$("split").value})});
+ await fetch("/api/select",{method:"POST",body:JSON.stringify({experiment:$("exp").value,split:$("split").value,engine:$("eng").value})});
  await state(); load(0,false);
 }
-$("exp").onchange=select; $("split").onchange=select;
+$("exp").onchange=select; $("split").onchange=select; $("eng").onchange=select;
 $("prev").onclick=()=>load((idx-1+n)%n,false);
 $("next").onclick=()=>load((idx+1)%n,false);
 $("reset").onclick=async()=>{await fetch("/api/reset",{method:"POST"});load(idx,false);};
@@ -402,7 +437,8 @@ def make_server(backend: GuiBackend, port: int = 8008) -> ThreadingHTTPServer:
                 if u.path == "/api/select":
                     length = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(length) or b"{}")
-                    self._json(backend.select(req.get("experiment"), req.get("split")))
+                    self._json(backend.select(req.get("experiment"), req.get("split"),
+                                              req.get("engine")))
                 elif u.path == "/api/reset":
                     with backend._lock:
                         backend.reset()

@@ -28,7 +28,6 @@ def main(argv=None):
     from spef_tpu.config.train_config import load_config
     from spef_tpu.data.camera import load_camera
     from spef_tpu.data.dataset import load_dataset
-    from spef_tpu.engine import SPEJax
     from spef_tpu.models.wrapper import import_model
     from spef_tpu.pose.score import score_batch
     from spef_tpu.temporal.inference import Inference
@@ -41,6 +40,12 @@ def main(argv=None):
     parser.add_argument("--n", type=int, default=16, help="number of frames")
     parser.add_argument("--video", action="store_true", help="temporal filtering")
     parser.add_argument("--out", default=None)
+    parser.add_argument("--engine", default="float",
+                        choices=["float", "weight-only", "int8-carry", "exported"],
+                        help="inference target: float model, int8 executors "
+                             "from the experiment's int8_graph.pkl, or its "
+                             "compiled model.spef export (reference "
+                             "gui.py:470-474 engine hot-switch)")
     args = parser.parse_args(argv)
 
     import cv2
@@ -62,19 +67,29 @@ def main(argv=None):
     data, split = load_dataset(data_path, batch_size=1, img_size=tuple(cfg.DATA.IMG_SIZE))
     phase = args.split or split["eval"][0]
 
+    from spef_tpu.quant.bitwidth import experiment_model_names
+
+    backbone_name, head_name, bit_width = experiment_model_names(
+        args.experiment, cfg.MODEL.BACKBONE.NAME, cfg.MODEL.HEAD.NAME)
     model = import_model(
-        backbone_name=cfg.MODEL.BACKBONE.NAME,
-        head_name=cfg.MODEL.HEAD.NAME,
+        backbone_name=backbone_name,
+        head_name=head_name,
         img_size=tuple(cfg.DATA.IMG_SIZE),
         params_path=os.path.join(args.experiment, "model", "parameters.msgpack"),
+        bit_width=bit_width,
         residual=cfg.MODEL.BACKBONE.RESIDUAL,
-        quantization=cfg.MODEL.QUANTIZATION,
+        quantization=cfg.MODEL.QUANTIZATION or bit_width is not None,
         ori_mode=cfg.MODEL.HEAD.ORI,
         n_ori_bins=spe_utils.orientation.n_bins,
         pos_mode=cfg.MODEL.HEAD.POS,
         n_pos_bins=spe_utils.position.n_bins,
     )
-    engine = SPEJax(model, spe_utils)
+    from spef_tpu.engine import build_engine_variant, discover_engine_variants
+
+    available = discover_engine_variants(args.experiment)
+    if args.engine not in available:
+        parser.error(f"--engine {args.engine}: experiment only has {available}")
+    engine = build_engine_variant(args.experiment, model, spe_utils, args.engine)
     inference = Inference(engine, spe_utils)
     viz = VisualizePose(spe_utils)
 

@@ -141,3 +141,61 @@ class SPEJax:
         if forward_fn is not None:
             self._forward_fn = forward_fn
         self._predict = self._compile()
+
+
+# ---------------------------------------------------------------------------
+# Engine variants from experiment artifacts
+# ---------------------------------------------------------------------------
+
+def discover_engine_variants(exp_dir: str):
+    """Engine variants available for an experiment directory.
+
+    The reference hot-switches inference targets at runtime
+    (`/root/reference/gui.py:470-474`, `src/temporal/inference.py:46-80`);
+    here the targets are the float model, the two int8 executors built from
+    ``int8_graph.pkl`` (apps.build_int8), and a compiled ``.spef`` export
+    (apps.export).
+    """
+    import os
+
+    variants = ["float"]
+    if os.path.isfile(os.path.join(exp_dir, "int8_graph.pkl")):
+        variants += ["weight-only", "int8-carry"]
+    if os.path.isfile(os.path.join(exp_dir, "model.spef")):
+        variants.append("exported")
+    return variants
+
+
+def build_engine_variant(exp_dir: str, model: SPEModel, spe_utils: SPEUtils,
+                         variant: str = "float", mesh=None):
+    """Build a ``predict``-contract engine for a variant of an experiment.
+
+    ``float`` runs the flax model; ``weight-only``/``int8-carry`` close over
+    the experiment's converted ``int8_graph.pkl``; ``exported`` loads the
+    precompiled ``model.spef`` artifact (ignores ``model``).
+    """
+    import os
+
+    if variant == "exported":
+        from spef_tpu.deploy import load_exported
+
+        return load_exported(os.path.join(exp_dir, "model.spef"))
+    forward_fn = None
+    if variant in ("weight-only", "int8-carry"):
+        import pickle
+
+        with open(os.path.join(exp_dir, "int8_graph.pkl"), "rb") as f:
+            graph = pickle.load(f)
+        graph = jax.tree_util.tree_map(
+            lambda v: v.item() if getattr(v, "ndim", 1) == 0 else v, graph)
+        if variant == "weight-only":
+            from spef_tpu.quant.int8_model import build_weight_only_forward
+
+            forward_fn = build_weight_only_forward(graph)
+        else:
+            from spef_tpu.quant.int8_carry import build_int8_carry_forward
+
+            forward_fn = build_int8_carry_forward(graph)
+    elif variant != "float":
+        raise KeyError(f"unknown engine variant {variant!r}")
+    return SPEJax(model, spe_utils, forward_fn=forward_fn, mesh=mesh)

@@ -29,6 +29,7 @@ import warnings
 from typing import Optional
 
 __all__ = ["load_bit_width", "save_bit_width", "default_bit_width",
+           "experiment_model_names",
            "boundary_bit_width"]
 
 
@@ -105,3 +106,25 @@ def boundary_bit_width(n_blocks: int = 17, w: int = 8, shared: int = 8) -> dict:
         "fully_connected": (8, 8),
         "pooling": 8,
     }
+
+
+def experiment_model_names(exp_dir: str, backbone_name: str, head_name: str):
+    """Resolve (backbone, head, bit_width) for an experiment checkpoint.
+
+    A ``model/bit_width.json`` marks a QAT checkpoint: the saved parameters
+    belong to the quantized module variants, so the configured float names
+    map to their ``_q`` forms (the reference keys this off the experiment
+    *directory* shape instead, `train.py:32-51`). Ladder configs store the
+    float names — same rule as apps.{export,gui,viewer}.
+    """
+    import os
+
+    bw_path = os.path.join(exp_dir, "model", "bit_width.json")
+    if not os.path.isfile(bw_path):
+        return backbone_name, head_name, None
+
+    def q_name(name: str) -> str:
+        name = name.replace("_pytorch", "").replace("_brevitas", "")
+        return name if name.endswith("_q") else name + "_q"
+
+    return q_name(backbone_name), q_name(head_name), load_bit_width(bw_path)

@@ -68,7 +68,12 @@ class VisualizePose:
 
         sx, sy = self._scale_to_image(image)
         uv = self._project_axes(pose["ori"], pose["pos"])
-        uv = np.round(uv * [sx, sy]).astype(int)
+        uv = uv * [sx, sy]
+        # A garbage prediction (e.g. an untrained model with z ~ 0) projects
+        # to NaN/inf; skip the overlay instead of crashing the viewer.
+        if not np.isfinite(uv).all():
+            return image
+        uv = np.round(np.clip(uv, -1e6, 1e6)).astype(int)
         origin = tuple(uv[0])
         for i, c in enumerate(_ARROW_COLORS[color]):
             cv2.arrowedLine(image, origin, tuple(uv[i + 1]), c, 2, tipLength=0.1)
@@ -81,7 +86,9 @@ class VisualizePose:
 
         h, w = image.shape[:2]
         kp = np.asarray(keypoints).reshape(-1, 2) * [w, h]
-        kp_int = np.round(kp).astype(int)
+        if not np.isfinite(kp).all():
+            return image
+        kp_int = np.round(np.clip(kp, -1e6, 1e6)).astype(int)
         c = _POINT_COLORS[color]
         if wireframe and kp_int.shape[0] >= 12:
             for a, b in _WIRE_EDGES:
@@ -94,7 +101,10 @@ class VisualizePose:
         import cv2
 
         h, w = image.shape[:2]
-        x0, y0, x1, y1 = np.asarray(bbox) * [w, h, w, h]
+        box = np.asarray(bbox, np.float64) * [w, h, w, h]
+        if not np.isfinite(box).all():
+            return image
+        x0, y0, x1, y1 = np.clip(box, -1e6, 1e6)
         cv2.rectangle(image, (int(x0), int(y0)), (int(x1), int(y1)), _POINT_COLORS[color], 2)
         return image
 

@@ -144,3 +144,84 @@ def test_discover_splits_layouts(tmp_path):
     splits = discover_splits(str(tmp_path))
     assert set(splits) == {"Docking", "S", "train"}
     assert splits["train"][0].endswith(os.path.join("images", "train"))
+
+
+def test_engine_variants(tmp_path):
+    """Engine dropdown: float / weight-only / int8-carry / exported .spef.
+
+    Mirrors the reference GUI's runtime engine hot-switching
+    (`/root/reference/gui.py:470-474`): a QAT experiment carrying an
+    ``int8_graph.pkl`` (apps.build_int8 artifact) and a ``model.spef``
+    (apps.export artifact) exposes all four variants, and every variant
+    serves frames through the same /api/frame pipeline.
+    """
+    import pickle
+
+    from spef_tpu.apps.gui import GuiBackend
+    from spef_tpu.codec.facade import SPEUtils
+    from spef_tpu.config.train_config import default_config, save_config
+    from spef_tpu.data.camera import load_camera
+    from spef_tpu.deploy import export_predict
+    from spef_tpu.engine import build_predict_fn
+    from spef_tpu.models.wrapper import import_model, save_model
+    from spef_tpu.quant.bitwidth import default_bit_width
+    from spef_tpu.quant.convert import convert_qat_params
+
+    data = create_synthetic_dataset(str(tmp_path / "data"), n_train=3, n_valid=2,
+                                    n_test=2, img_size=(48, 64))
+
+    cfg = default_config()
+    cfg.MODEL.BACKBONE.NAME = "small_mobile"
+    cfg.MODEL.QUANTIZATION = True
+    cfg.MODEL.HEAD.NAME = "ursonet"
+    cfg.MODEL.HEAD.ORI = "classification"
+    cfg.MODEL.HEAD.POS = "regression"
+    cfg.MODEL.HEAD.N_ORI_BINS_PER_DIM = 4
+    cfg.DATA.PATH = data
+    cfg.DATA.IMG_SIZE = (48, 64)
+
+    exp = tmp_path / "experiments" / "exp_q"
+    os.makedirs(exp)
+    save_config(cfg, str(exp / "config.yaml"))
+
+    bw = default_bit_width(n_blocks=2, w=8, a=8, shared=8)
+    camera = load_camera(data)
+    spe_utils = SPEUtils.create(
+        camera, ori_mode="classification", n_ori_bins_per_dim=4,
+        ori_smooth_factor=cfg.DATA.ORI_SMOOTH_FACTOR,
+        ori_delete_unused_bins=cfg.MODEL.HEAD.ORI_DELETE_UNUSED_BINS,
+        pos_mode="regression")
+    model = import_model(
+        backbone_name="small_mobile_q", head_name="ursonet_q", img_size=(48, 64),
+        bit_width=bw, ori_mode="classification",
+        n_ori_bins=spe_utils.orientation.n_bins, pos_mode="regression", seed=5)
+    save_model(str(exp / "model"), model, bit_width=bw)
+
+    graph = convert_qat_params(model)
+    with open(exp / "int8_graph.pkl", "wb") as f:
+        pickle.dump(graph, f)
+    export_predict(build_predict_fn(model, spe_utils), batch=2,
+                   img_size=(48, 64), out_path=str(exp / "model.spef"),
+                   platforms=("cpu",))
+
+    backend = GuiBackend(str(tmp_path / "experiments"), data)
+    assert backend.engines == ["float", "weight-only", "int8-carry", "exported"]
+
+    poses = {}
+    for eng in backend.engines:
+        backend.select(engine=eng)
+        assert backend.engine_name == eng
+        d = backend.frame(0, video=False,
+                          overlays={"pred_pose": True, "true_pose": True})
+        assert d["latency_ms"] > 0 and "esa_score" in d["still"]
+        poses[eng] = np.asarray(d["pred"]["ori"])
+
+    # weight-only and int8-carry run the SAME int weight grids as the QAT
+    # network -> identical decoded orientation up to executor rounding.
+    np.testing.assert_allclose(poses["weight-only"], poses["int8-carry"],
+                               atol=0.05)
+
+    # unknown engine without an experiment switch is a hard error
+    with pytest.raises(KeyError, match="not available"):
+        backend.select(engine="nope-not-real")
+    assert backend.engine_name in backend.engines
