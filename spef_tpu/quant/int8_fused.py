@@ -78,13 +78,17 @@ def plan_backends(graph: Dict[str, Any], img_hw,
          isolated per-node times cannot see cross-node XLA fusion, so the
          composed measurement is the final arbiter.
       3. Otherwise a 2-state DP over the node chain minimizes
-         ``sum(node_time[backend]) + transition_ms * n_switches``: switching
+         ``sum(node_time[backend]) + sum(switch_cost(boundary))``: switching
          engines at a block boundary costs one pad/unpad (and, packed, one
          relayout) HBM pass that per-node timing cannot see — round-3
          measured an interleaved 7-fused/10-xla plan running 3x slower than
          either pure path, so minority-backend nodes must EARN their
-         boundary crossings.  Nodes with only one measured time (or none)
-         are pinned to the fused kernel as before.
+         boundary crossings.  Per-boundary costs come from composed
+         two-block measurements when present (``trans:<sig>-><sig>`` tuning
+         entries written by benchmarks/probe_transition.py — the VERDICT r3
+         "measured composed segments" requirement); ``transition_ms`` is the
+         fallback for unmeasured boundaries.  Nodes with only one measured
+         time (or none) are pinned to the fused kernel as before.
     """
     blocks = graph["blocks"]
     if os.environ.get("SPEF_ALL_FUSED"):
@@ -108,15 +112,24 @@ def plan_backends(graph: Dict[str, Any], img_hw,
 
     sigs = node_signatures(graph, img_hw)
     node_t = [times(s) for s in sigs]  # [(fused, xla)] per node
+
+    def boundary_cost(k: int) -> float:
+        """Switch penalty entering node k (measured if probed, else scalar)."""
+        e = table.get(f"trans:{sigs[k - 1]}->{sigs[k]}")
+        if e and e.get("transition_ms") is not None:
+            return max(0.0, float(e["transition_ms"]))
+        return transition_ms
+
     # DP: cost[k][b] = best cost of nodes 0..k ending in backend b.
     cost = list(node_t[0])
     back: list = [[None, None]]
-    for f_ms, x_ms in node_t[1:]:
+    for k, (f_ms, x_ms) in enumerate(node_t[1:], start=1):
+        pen = boundary_cost(k)
         new = [0.0, 0.0]
         ptr = [0, 0]
         for b, t in ((0, f_ms), (1, x_ms)):
             stay = cost[b]
-            switch = cost[1 - b] + transition_ms
+            switch = cost[1 - b] + pen
             ptr[b] = b if stay <= switch else 1 - b
             new[b] = min(stay, switch) + t
         cost = new

@@ -292,3 +292,53 @@ def test_penalty_sweep_yields_contiguous_runs(monkeypatch, tmp_path):
     assert sw[0] >= sw[1] >= sw[2], sw
     assert sw[0] > 0, "low penalty should follow the alternating winners"
     assert sw[2] == 0, "extreme penalty must degenerate to a pure plan"
+
+
+def test_plan_backends_measured_boundary_costs(monkeypatch, tmp_path):
+    """Measured ``trans:<sig>-><sig>`` entries (probe_transition.py) override
+    the scalar switch penalty per boundary: cheap measured boundaries let a
+    marginal advantage flip; expensive ones pin even a decisive advantage."""
+    import spef_tpu.quant.autotune as at
+    import spef_tpu.quant.int8_fused as fused
+    from spef_tpu.models.wrapper import import_model
+    from spef_tpu.quant.bitwidth import default_bit_width
+    from spef_tpu.quant.convert import convert_qat_params
+
+    bw = default_bit_width(n_blocks=2, w=8, a=8, shared=8)
+    model = import_model(
+        backbone_name="small_mobile_q", head_name="ursonet_q", img_size=(48, 64),
+        bit_width=bw, ori_mode="classification", n_ori_bins=64,
+        pos_mode="regression", seed=7,
+    )
+    graph = convert_qat_params(model, bw)
+
+    monkeypatch.setattr(at, "_TUNING_PATH", str(tmp_path / "t.json"))
+    monkeypatch.setattr(at, "_cache", None)
+
+    sigs = fused.node_signatures(graph, (48, 64))  # [stem, b0, b1]
+    table = {s: {"tile_oh": 8, "ms": 1.0, "xla_ms": 2.0} for s in sigs[1:]}
+    marginal = sigs[2]  # last block: flipping it costs ONE boundary crossing
+    table[marginal] = {"tile_oh": 8, "ms": 1.0, "xla_ms": 0.95}
+    boundary = f"trans:{sigs[1]}->{sigs[2]}"
+
+    # Scalar default (0.15/switch): 0.05 ms advantage loses (see
+    # test_plan_backends_charges_transitions).  A measured near-free
+    # boundary flips it.
+    table[boundary] = {"transition_ms": 0.01}
+    at.save_tuning(table)
+    plan = fused.plan_backends(graph, (48, 64))
+    assert plan["blocks"][1] == "xla", plan
+
+    # A measured EXPENSIVE boundary pins a decisive advantage to fused.
+    table[marginal] = {"tile_oh": 8, "ms": 1.0, "xla_ms": 0.2}
+    table[boundary] = {"transition_ms": 5.0}
+    at.save_tuning(table)
+    plan = fused.plan_backends(graph, (48, 64))
+    assert plan["blocks"][1] == "fused", plan
+
+    # Negative measured values (timing noise) clamp to zero, never pay you
+    # to switch.
+    table[boundary] = {"transition_ms": -3.0}
+    at.save_tuning(table)
+    plan = fused.plan_backends(graph, (48, 64))
+    assert plan["blocks"][1] == "xla", plan
