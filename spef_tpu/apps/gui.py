@@ -107,6 +107,12 @@ class GuiBackend:
         self.splits = discover_splits(data_root)
         if not self.splits:
             raise SystemExit(f"no label JSONs found under {data_root}")
+        from spef_tpu.data.dataset import detect_dataset
+
+        try:  # domain-tuned temporal-filter constants (pdf_filter defaults)
+            self.dataset_kind: Optional[str] = detect_dataset(data_root)
+        except Exception:
+            self.dataset_kind = None
         self._lock = threading.Lock()
         self.exp_name: Optional[str] = None
         self.split_name: Optional[str] = None
@@ -127,7 +133,8 @@ class GuiBackend:
                            f"(have {self.engines})")
         self.engine = build_engine_variant(
             self.experiments[self.exp_name], self.model, self.spe_utils, variant)
-        self.inference = Inference(self.engine, self.spe_utils)
+        self.inference = Inference(self.engine, self.spe_utils,
+                                   dataset=self.dataset_kind)
         self.engine_name = variant
 
     # -- state management ---------------------------------------------------

@@ -195,6 +195,11 @@ def main(argv=None):
         pos_smooth_factor=cfg.DATA.POS_SMOOTH_FACTOR,
     )
     data, split = load_dataset(args.data, batch_size=32, img_size=tuple(cfg.DATA.IMG_SIZE))
+    from spef_tpu.data.dataset import detect_dataset
+
+    # Domain-tuned filter constants are keyed by dataset family; explicit
+    # --filter-constants overrides still win (merged after the defaults).
+    dataset_kind = detect_dataset(args.data)
 
     model = import_model(
         backbone_name=cfg.MODEL.BACKBONE.NAME,
@@ -221,7 +226,7 @@ def main(argv=None):
         # multi-sequence program (vmapped scan) instead of a serial loop.
         run_batched_sequences(spe_utils, forward_fn, data, split["eval"], out_dir,
                               filter_video=not args.no_filter, plots=args.plots,
-                              **filter_overrides)
+                              dataset=dataset_kind, **filter_overrides)
         return
 
     from spef_tpu.temporal.report import (
@@ -234,7 +239,7 @@ def main(argv=None):
     for seq in split["eval"]:
         res, truth, metrics = evaluate_sequence(
             spe_utils, forward_fn, data[seq], filter_video=not args.no_filter,
-            **filter_overrides
+            dataset=dataset_kind, **filter_overrides
         )
         summary[seq] = {k: metrics[k] for k in ("still", "video") if k in metrics}
         still = metrics["still"]["esa_score"]

@@ -90,7 +90,13 @@ def main(argv=None):
     if args.engine not in available:
         parser.error(f"--engine {args.engine}: experiment only has {available}")
     engine = build_engine_variant(args.experiment, model, spe_utils, args.engine)
-    inference = Inference(engine, spe_utils)
+    from spef_tpu.data.dataset import detect_dataset
+
+    try:
+        dataset_kind = detect_dataset(data_path)
+    except Exception:
+        dataset_kind = None
+    inference = Inference(engine, spe_utils, dataset=dataset_kind)
     viz = VisualizePose(spe_utils)
 
     out_dir = args.out or os.path.join(args.experiment, "viewer", phase)

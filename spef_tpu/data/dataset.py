@@ -31,7 +31,8 @@ import numpy as np
 
 from spef_tpu.data.camera import Camera, load_camera
 
-__all__ = ["PoseRecord", "Manifest", "BatchLoader", "CachedBatchLoader", "load_dataset"]
+__all__ = ["PoseRecord", "Manifest", "BatchLoader", "CachedBatchLoader",
+           "load_dataset", "detect_dataset"]
 
 _ORI_KEYS = ("q", "q_vbs2tango", "q_vbs2tango_true")
 _POS_KEYS = ("t", "r_Vo2To_vbs_true")
@@ -482,24 +483,36 @@ def load_dataset(
     ``cache``: decode each split once and serve epochs from RAM
     (:class:`CachedBatchLoader`) — for multi-epoch training on few-core hosts.
     """
+    kind = detect_dataset(path)
+    if kind == "speed":
+        return import_speed(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
+    if kind == "speed_plus":
+        return import_speed_plus(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
+    if kind == "dspeed":
+        return import_dspeed(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
+    return import_dspeed_video(path, batch_size, img_size)
+
+
+def detect_dataset(path: str) -> str:
+    """Dataset family from the path/layout: speed / speed_plus / dspeed /
+    dspeed_video (reference keys this off the path name,
+    `import_dataset.py:13-57`); raises for unrecognized layouts."""
     assert os.path.exists(path), f"Dataset path {path} does not exist"
     name = os.path.split(path.rstrip("/"))[-1]
-    if name == "speed":
-        return import_speed(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
-    if name == "speed_plus":
-        return import_speed_plus(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
+    if name in ("speed", "speed_plus"):
+        return name
     if "dspeed" in path and name == "still":
-        return import_dspeed(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
+        return "dspeed"
     if name == "video":
-        return import_dspeed_video(path, batch_size, img_size)
+        return "dspeed_video"
     # Fallback: any directory holding a train/ pose.json split behaves like
     # dspeed-still; otherwise per-sequence dirs each with their own pose.json
     # (the video layout) dispatch to the video importer, however the root is
     # named.
     if os.path.isdir(os.path.join(path, "train")):
-        return import_dspeed(path, batch_size, img_size, shuffle, seed, rot_augment, cache)
+        return "dspeed"
     if _looks_like_video_root(path):
-        return import_dspeed_video(path, batch_size, img_size)
+        return "dspeed_video"
     raise ValueError(f"Dataset {name} not implemented")
 
 

@@ -81,28 +81,43 @@ class KeypointHeatmapHead(nn.Module):
 
     n_outputs: int = 24  # 2 * (K keypoints incl. the prepended origin)
     temperature: float = 1.0  # heatmap softmax sharpness
-    upsample: int = 2  # resize+conv refinement stages (4x heatmap resolution)
+    upsample: int = 2  # upsample+conv refinement stages (4x heatmap resolution)
     refine_ch: int = 128  # channels in the upsampling convs
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         assert self.n_outputs % 2 == 0
         k = self.n_outputs // 2
-        x = x.astype(jnp.float32)
+        x = x.astype(self.compute_dtype)
+
+        def conv_bn_relu(y, ch, ksize, name):
+            y = nn.Conv(ch, (ksize, ksize), use_bias=False,
+                        dtype=self.compute_dtype, param_dtype=jnp.float32,
+                        name=f"{name}_conv")(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=jnp.float32, param_dtype=jnp.float32,
+                             name=f"{name}_bn")(y)
+            return nn.relu(y.astype(self.compute_dtype))
+
+        # Squeeze the 1280-ch backbone map to refine_ch BEFORE upsampling:
+        # the 3x3 refinement convs then run on narrow maps (MXU-cheap).
+        x = conv_bn_relu(x, self.refine_ch, 1, "squeeze")
         # Backbone stride leaves the feature map coarse (8x12 at 240x384);
-        # resize+conv stages sharpen localization like the simple-baselines
-        # deconv stack, but resize+conv avoids checkerboard artifacts and
-        # lowers to plain XLA convs on the MXU.
+        # upsample+conv stages sharpen localization like the simple-baselines
+        # deconv stack.  The 2x nearest upsample is a broadcast+reshape — NOT
+        # jax.image.resize, whose gather lowering runs ~1000x below peak on
+        # TPU (measured; see PERFORMANCE.md "device-side yaw warp").
         for i in range(self.upsample):
-            b_, h_, w_, _ = x.shape
-            x = jax.image.resize(x, (b_, 2 * h_, 2 * w_, x.shape[-1]), "nearest")
-            x = nn.Conv(self.refine_ch, (3, 3), use_bias=False,
-                        name=f"up{i}_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             name=f"up{i}_bn")(x)
-            x = nn.relu(x)
+            b_, h_, w_, c_ = x.shape
+            x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (b_, h_, 2, w_, 2, c_)).reshape(
+                                     b_, 2 * h_, 2 * w_, c_)
+            x = conv_bn_relu(x, self.refine_ch, 3, f"up{i}")
         b, h, w, _ = x.shape
-        logits = nn.Conv(k, (1, 1), use_bias=True, name="heatmap_conv")(x)  # (B,H,W,K)
+        logits = nn.Conv(k, (1, 1), use_bias=True, param_dtype=jnp.float32,
+                         dtype=jnp.float32, name="heatmap_conv")(
+                             x.astype(jnp.float32))  # (B,H,W,K)
         flat = logits.reshape(b, h * w, k) / self.temperature
         p = jax.nn.softmax(flat, axis=1).reshape(b, h, w, k)
         # Pixel-center coordinate grids in [0, 1].

@@ -24,10 +24,9 @@ import numpy as np
 
 from spef_tpu.codec.facade import SPEUtils
 from spef_tpu.temporal.pdf_filter import (
-    ORI_FILTER_DEFAULTS,
-    POS_FILTER_DEFAULTS,
     TemporalPDF,
     compute_distance,
+    filter_defaults,
 )
 
 __all__ = ["Inference", "sequence_inference", "quaternion_continuity_scan"]
@@ -69,6 +68,7 @@ def sequence_inference(
     ori_filter: Optional[dict] = None,
     pos_filter: Optional[dict] = None,
     frame_batch: int = 32,
+    dataset: Optional[str] = None,
 ) -> Dict[str, jax.Array]:
     """Full-sequence inference with temporal filtering, fused.
 
@@ -82,9 +82,13 @@ def sequence_inference(
     ``ori_still, pos_still, ori_video, pos_video, ori_distance, pos_distance``.
     Requires classification/classification modes for filtering (like the
     reference's 'Adaptative' path, `inference.py:158-168`).
+    ``dataset`` selects domain-tuned filter constants (pdf_filter.
+    DOMAIN_FILTER_DEFAULTS); explicit ``ori_filter``/``pos_filter`` entries
+    override them.
     """
-    ori_cfg = {**ORI_FILTER_DEFAULTS, **(ori_filter or {})}
-    pos_cfg = {**POS_FILTER_DEFAULTS, **(pos_filter or {})}
+    ori_def, pos_def = filter_defaults(dataset)
+    ori_cfg = {**ori_def, **(ori_filter or {})}
+    pos_cfg = {**pos_def, **(pos_filter or {})}
     t = frames.shape[0]
 
     # 1) Batched CNN forward over the sequence, chunked.
@@ -150,13 +154,14 @@ class Inference:
     gpu_jetson / cpu_ultra96 dispatch (deployment targets collapse to one).
     """
 
-    def __init__(self, engine, spe_utils: SPEUtils):
+    def __init__(self, engine, spe_utils: SPEUtils, dataset: Optional[str] = None):
         self.engine = engine
         self.spe_utils = spe_utils
         self.prev_still_ori: Optional[np.ndarray] = None
         self.prev_video_ori: Optional[np.ndarray] = None
-        self.pdf_adapt_ori = TemporalPDF(**ORI_FILTER_DEFAULTS)
-        self.pdf_adapt_pos = TemporalPDF(**POS_FILTER_DEFAULTS)
+        ori_cfg, pos_cfg = filter_defaults(dataset)
+        self.pdf_adapt_ori = TemporalPDF(**ori_cfg)
+        self.pdf_adapt_pos = TemporalPDF(**pos_cfg)
 
     def reset(self) -> None:
         self.prev_still_ori = None
@@ -228,6 +233,7 @@ def multi_sequence_inference(
     ori_filter: Optional[dict] = None,
     pos_filter: Optional[dict] = None,
     frame_batch: int = 64,
+    dataset: Optional[str] = None,
 ) -> Dict[str, jax.Array]:
     """Batched temporal inference over MULTIPLE equal-length sequences.
 
@@ -238,8 +244,9 @@ def multi_sequence_inference(
     sequences") for the 11-sequence D-SPEED video benchmark.  Output arrays
     carry a leading (S, T, ...) shape.
     """
-    ori_cfg = {**ORI_FILTER_DEFAULTS, **(ori_filter or {})}
-    pos_cfg = {**POS_FILTER_DEFAULTS, **(pos_filter or {})}
+    ori_def, pos_def = filter_defaults(dataset)
+    ori_cfg = {**ori_def, **(ori_filter or {})}
+    pos_cfg = {**pos_def, **(pos_filter or {})}
     s, t = sequences.shape[0], sequences.shape[1]
     flat = sequences.reshape(s * t, *sequences.shape[2:])
 

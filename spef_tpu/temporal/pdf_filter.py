@@ -28,10 +28,38 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["compute_distance", "TemporalPDF", "scan_filter", "ORI_FILTER_DEFAULTS", "POS_FILTER_DEFAULTS"]
+__all__ = ["compute_distance", "TemporalPDF", "scan_filter",
+           "ORI_FILTER_DEFAULTS", "POS_FILTER_DEFAULTS",
+           "DOMAIN_FILTER_DEFAULTS", "filter_defaults"]
 
+# Reference SPEED-domain constants (`src/temporal/inference.py:38-39`).
 ORI_FILTER_DEFAULTS = dict(n=0.8, alpha=16.49, distance_metric="l2")
 POS_FILTER_DEFAULTS = dict(n=0.5, alpha=48.64, distance_metric="l2")
+
+# Domain-tuned constants, keyed by dataset family.  The D-SPEED values come
+# from the on-chip sweep `experiments/tune_temporal.py` over the 11 kinematic
+# scenarios (6-sequence tune split / 5-sequence holdout; full search record in
+# `experiments/accuracy_suite/temporal_tuning.json`): js-distance beat the
+# reference's l2 on both heads, holdout ESA 0.1091 vs 0.1104 still.  SPEED /
+# SPEED+ keep the reference constants — they were tuned on that domain.
+DOMAIN_FILTER_DEFAULTS = {
+    "speed": {"ori": ORI_FILTER_DEFAULTS, "pos": POS_FILTER_DEFAULTS},
+    "speed_plus": {"ori": ORI_FILTER_DEFAULTS, "pos": POS_FILTER_DEFAULTS},
+    "dspeed": {
+        "ori": dict(n=1.1, alpha=16.554545661412405, distance_metric="js"),
+        "pos": dict(n=0.2, alpha=12.188681275988856, distance_metric="js"),
+    },
+}
+DOMAIN_FILTER_DEFAULTS["dspeed_video"] = DOMAIN_FILTER_DEFAULTS["dspeed"]
+
+
+def filter_defaults(dataset: Optional[str] = None) -> Tuple[dict, dict]:
+    """(ori_cfg, pos_cfg) for a dataset family (reference constants when
+    unknown/None — the conservative choice for unseen domains)."""
+    d = DOMAIN_FILTER_DEFAULTS.get(dataset or "",
+                                   {"ori": ORI_FILTER_DEFAULTS,
+                                    "pos": POS_FILTER_DEFAULTS})
+    return dict(d["ori"]), dict(d["pos"])
 
 _EPS = 1e-12
 

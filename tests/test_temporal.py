@@ -203,3 +203,55 @@ class TestTuneTemporalHarness:
         pdfs = jnp.asarray(random_pdfs(t=15, n=24, seed=5))
         filt, _ = scan_filter(pdfs, 1.0, 0.0, "l2")
         np.testing.assert_allclose(np.asarray(filt), np.asarray(pdfs), rtol=1e-5, atol=1e-6)
+
+
+def test_domain_keyed_filter_defaults():
+    """Dataset-keyed tuned constants (VERDICT r3 #5): D-SPEED uses the
+    sweep-tuned (js, n, alpha) from experiments/tune_temporal.py, SPEED
+    keeps the reference constants (`src/temporal/inference.py:38-39`),
+    unknown domains fall back to the reference set, and explicit overrides
+    still win in sequence_inference's merge."""
+    from spef_tpu.temporal.pdf_filter import (
+        ORI_FILTER_DEFAULTS, POS_FILTER_DEFAULTS, filter_defaults)
+
+    ori, pos = filter_defaults("speed")
+    assert ori == ORI_FILTER_DEFAULTS and pos == POS_FILTER_DEFAULTS
+
+    ori, pos = filter_defaults("dspeed")
+    assert ori["distance_metric"] == "js" and pos["distance_metric"] == "js"
+    assert ori != ORI_FILTER_DEFAULTS
+    ori_v, pos_v = filter_defaults("dspeed_video")
+    assert (ori_v, pos_v) == (ori, pos)
+
+    ori, pos = filter_defaults(None)
+    assert ori == ORI_FILTER_DEFAULTS and pos == POS_FILTER_DEFAULTS
+    ori, pos = filter_defaults("never-heard-of-it")
+    assert ori == ORI_FILTER_DEFAULTS
+
+    # Mutating the returned dicts must not corrupt the registry.
+    ori["alpha"] = 0.0
+    assert filter_defaults("never-heard-of-it")[0]["alpha"] != 0.0
+
+
+def test_detect_dataset_families(tmp_path):
+    import json as _json
+    import os as _os
+
+    from spef_tpu.data.dataset import detect_dataset
+
+    root = tmp_path / "dspeed" / "still"
+    _os.makedirs(root / "train")
+    with open(root / "train" / "pose.json", "w") as f:
+        _json.dump([], f)
+    assert detect_dataset(str(root)) == "dspeed"
+
+    vid = tmp_path / "dspeed" / "video"
+    _os.makedirs(vid / "S")
+    with open(vid / "S" / "pose.json", "w") as f:
+        _json.dump([], f)
+    assert detect_dataset(str(vid)) == "dspeed_video"
+
+    _os.makedirs(tmp_path / "speed")
+    assert detect_dataset(str(tmp_path / "speed")) == "speed"
+    _os.makedirs(tmp_path / "speed_plus")
+    assert detect_dataset(str(tmp_path / "speed_plus")) == "speed_plus"
