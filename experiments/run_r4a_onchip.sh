@@ -34,13 +34,15 @@ No-Verification-Needed: chip-queue artifacts only, no source changes" || true
 
 settle || exit 1
 echo "== R4A-I. heatmap-head keypoints training run =="
-rm -rf "$KPH"
+# Keep the dir when checkpoints exist: --checkpoint resumes in place, so a
+# restarted queue continues instead of losing epochs (session-death lesson).
+[ -d "$KPH/checkpoints" ] || rm -rf "$KPH"
 WS=$KP/model/parameters.msgpack
 [ -f "$WS" ] || WS="$EXP/model/parameters.msgpack"
 timeout 10800 python -m spef_tpu.apps.train \
     --config configs/exp_keypoints_heatmap_synth.yaml \
     --out experiments/train_synth --device-data --device-augment \
-    --epochs 50 \
+    --epochs 50 --checkpoint \
     --warm-start "$WS" \
     2>&1 | tee experiments/train_synth/keypoints_heatmap.log | tail -8
 commit_stage "Heatmap-head keypoints 50-epoch training artifacts" \
