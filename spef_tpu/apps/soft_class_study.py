@@ -124,7 +124,37 @@ def error_statistics(errors) -> dict:
     }
 
 
-def plot_smooth_lines(stats, n_bins, smooths, unit, title, path):
+# EN/FR figure-label sets (reference `soft_class_plot.py` emits both
+# languages for its paper figures, e.g. lines 142-155, 299-325).
+_L10N = {
+    "en": {
+        "roundtrip": "round-trip error",
+        "smooth": "smooth factor",
+        "bins": "bins/dim",
+        "vs_smooth": "{pose} error vs smooth factor",
+        "grid_stat": "{pose} round-trip {stat} [{unit}]",
+        "pose_heat": "{pose} error over (z, y), {label}",
+        "scatter": "{pose} error, {label}",
+        "pose_names": {"orientation": "orientation", "position": "position"},
+        "stat_names": {"mean": "mean", "median": "median", "std": "std",
+                       "min": "min", "max": "max"},
+    },
+    "fr": {
+        "roundtrip": "erreur aller-retour",
+        "smooth": "facteur de lissage",
+        "bins": "classes/dim",
+        "vs_smooth": "erreur de {pose} selon le facteur de lissage",
+        "grid_stat": "erreur de {pose} aller-retour ({stat}) [{unit}]",
+        "pose_heat": "erreur de {pose} sur (z, y), {label}",
+        "scatter": "erreur de {pose}, {label}",
+        "pose_names": {"orientation": "orientation", "position": "position"},
+        "stat_names": {"mean": "moyenne", "median": "médiane",
+                       "std": "écart-type", "min": "min", "max": "max"},
+    },
+}
+
+
+def plot_smooth_lines(stats, n_bins, smooths, unit, title, path, lang="en"):
     """Error vs smooth factor, one line per n_bins, mean with std band
     (reference ``plot_errors_for_smooth_factors``)."""
     import matplotlib
@@ -137,8 +167,8 @@ def plot_smooth_lines(stats, n_bins, smooths, unit, title, path):
         m, s = stats["mean"][i], stats["std"][i]
         ax.plot(smooths, m, marker="o", label=f"{b} bins/dim")
         ax.fill_between(smooths, m - s, m + s, alpha=0.15)
-    ax.set_xlabel("smooth factor")
-    ax.set_ylabel(f"round-trip error [{unit}]")
+    ax.set_xlabel(_L10N[lang]["smooth"])
+    ax.set_ylabel(f"{_L10N[lang]['roundtrip']} [{unit}]")
     ax.set_title(title)
     ax.legend(fontsize=9)
     fig.savefig(path, dpi=110, bbox_inches="tight")
@@ -239,6 +269,8 @@ def run_grid_study(args):
             "step": args.grid_step_m,
         },
     }
+    lang = getattr(args, "language", "en")
+    sfx = "" if lang == "en" else f"_{lang}"
     summary = {}
     for pose_type, c in configs.items():
         tag = pose_type[:3]
@@ -251,23 +283,29 @@ def run_grid_study(args):
                    for i, b in enumerate(c["bins"]) for j, s in enumerate(c["smooths"])}
             for stat in stats
         }
+        L = _L10N[lang]
+        pname = L["pose_names"][pose_type]
         for stat in ("mean", "median", "std", "min", "max"):
             plot_heatmap(stats[stat].T, c["bins"], c["smooths"],
-                         "bins/dim", "smooth factor",
-                         f"{pose_type} round-trip {stat} [{c['unit']}]",
-                         os.path.join(out, f"{tag}_grid_{stat}_heatmap.png"))
+                         L["bins"], L["smooth"],
+                         L["grid_stat"].format(pose=pname,
+                                               stat=L["stat_names"][stat],
+                                               unit=c["unit"]),
+                         os.path.join(out, f"{tag}_grid_{stat}_heatmap{sfx}.png"))
         plot_smooth_lines(stats, c["bins"], c["smooths"], c["unit"],
-                          f"{pose_type} error vs smooth factor",
-                          os.path.join(out, f"{tag}_smooth_lines.png"))
+                          L["vs_smooth"].format(pose=pname),
+                          os.path.join(out, f"{tag}_smooth_lines{sfx}.png"),
+                          lang=lang)
         # best (bins, smooth) cell by mean error: pose-space views
         bi, bj = np.unravel_index(np.argmin(stats["mean"]), stats["mean"].shape)
         cell = usable[bi, bj]
         label = f"bins={c['bins'][bi]}, smooth={c['smooths'][bj]}"
         plot_pose_heatmap(cell, uaxes, ("z", "y"), c["unit"],
-                          f"{pose_type} error over (z, y), {label}",
-                          os.path.join(out, f"{tag}_pose_heatmap.png"))
-        plot_3d_scatter(cell, uaxes, c["unit"], f"{pose_type} error, {label}",
-                        os.path.join(out, f"{tag}_3d_scatter.png"))
+                          L["pose_heat"].format(pose=pname, label=label),
+                          os.path.join(out, f"{tag}_pose_heatmap{sfx}.png"))
+        plot_3d_scatter(cell, uaxes, c["unit"],
+                        L["scatter"].format(pose=pname, label=label),
+                        os.path.join(out, f"{tag}_3d_scatter{sfx}.png"))
         print(f"{pose_type}: best {label} "
               f"mean={stats['mean'][bi, bj]:.3f}{c['unit']} "
               f"median={stats['median'][bi, bj]:.3f}")
@@ -293,6 +331,9 @@ def main(argv=None):
     parser.add_argument("--grid", action="store_true",
                         help="full pose-grid sweep + stats + line/heatmap/3D figure "
                              "suite (reference soft_class_plot.py main)")
+    parser.add_argument("--language", default="en", choices=sorted(_L10N),
+                        help="figure label language (reference emits EN and "
+                             "FR paper-figure sets)")
     parser.add_argument("--grid-step-deg", type=float, default=30.0)
     parser.add_argument("--grid-step-m", type=float, default=2.0)
     args = parser.parse_args(argv)
