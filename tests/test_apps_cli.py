@@ -105,3 +105,51 @@ def test_benchmark_cli(tmp_path):
     payload = json.load(open(out))
     assert payload["float"]["items_per_sec"] > 0
     assert payload["forward"]["items_per_sec"] > 0
+
+
+def test_train_eval_heatmap_cli_roundtrip(tmp_path):
+    """The exact chip-queue pipeline for the heatmap-head keypoints model at
+    toy scale: apps.train on a heatmap config -> apps.eval (plain EPnP)
+    -> apps.eval --ransac (sidecar artifact). Guards the R4A stages
+    against CLI/config regressions before hours of chip training."""
+    import json
+
+    import numpy as np
+
+    from spef_tpu.apps import eval as eval_app
+    from spef_tpu.apps import train as train_app
+    from spef_tpu.data.synthetic import create_synthetic_dataset
+
+    data = create_synthetic_dataset(str(tmp_path / "dspeed"), n_train=10,
+                                    n_valid=5, n_test=5, img_size=(48, 64))
+    cfg = f"""
+MODEL:
+  BACKBONE: {{NAME: small, RESIDUAL: true}}
+  HEAD:
+    NAME: keypoints_heatmap
+    ORI: keypoints
+    POS: keypoints
+DATA:
+  BATCH_SIZE: 5
+  PATH: {data}
+  IMG_SIZE: [48, 64]
+  ROT_AUGMENT: false
+  OTHER_AUGMENT: false
+TRAIN:
+  N_EPOCH: 1
+  LR: 0.001
+  OPTIM: Adam
+"""
+    cfg_path = tmp_path / "exp_hm_toy.yaml"
+    cfg_path.write_text(cfg)
+    out = tmp_path / "out"
+    train_app.main(["--config", str(cfg_path), "--out", str(out)])
+    exp = out / "exp_hm_toy"
+    assert (exp / "model" / "parameters.msgpack").is_file()
+
+    eval_app.main(["--experiment", str(exp), "--batch-size", "5"])
+    eval_app.main(["--experiment", str(exp), "--batch-size", "5", "--ransac"])
+    for name in ("eval_score_error", "eval_score_error_ransac"):
+        with open(exp / f"{name}.json") as f:
+            rec = json.load(f)
+        assert np.isfinite(rec["scores"]["valid"]["esa"][0])
