@@ -287,6 +287,16 @@ def main(exp_dir, suite_dir, out_path=None):
                 f" {_fmt(et)} | {rel} | {_fmt(r.get('qat_test_ori'))} |"
                 f" {_fmt(r.get('qat_test_pos'))} |")
 
+        # Sensitivity ranking: the study's punchline in one line (least to
+        # most damaging), like the reference's sorted results summary.
+        ranked = sorted(
+            ((n, r["int8_test_esa"]) for n, r in sweep.items()
+             if isinstance(r.get("int8_test_esa"), float)),
+            key=lambda kv: kv[1])
+        lines += ["",
+                  "Ranked by int8 test ESA (best -> worst): " +
+                  ", ".join(f"{n} ({e:.4f})" for n, e in ranked)]
+
     text = "\n".join(lines) + "\n"
     out_path = out_path or "ACCURACY.md"
     with open(out_path, "w") as f:
