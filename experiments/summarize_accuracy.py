@@ -252,6 +252,78 @@ def main(exp_dir, suite_dir, out_path=None):
             ev, _, _ = esa_row(kph["scores"], "valid")
             lines.append(
                 f"| heatmap head (integral) + EPnP | {_fmt(et)} | {_fmt(ev)} | {_fmt(ot)} | {_fmt(pt)} |")
+        kphr = _load(os.path.join(os.path.dirname(kp_dir),
+                                  "exp_keypoints_heatmap_synth",
+                                  "eval_score_error_ransac.json"))
+        if kphr:
+            et, ot, pt = esa_row(kphr["scores"], "test")
+            ev, _, _ = esa_row(kphr["scores"], "valid")
+            lines.append(
+                f"| heatmap head (integral) + RANSAC PnP | {_fmt(et)} | {_fmt(ev)} | {_fmt(ot)} | {_fmt(pt)} |")
+
+    noise = _load(os.path.join(suite_dir, "keypoint_noise.json"))
+    if noise:
+        n = noise["regressor_noise"]
+        act = noise["actual"]
+        lines += [
+            "", "### Regressor noise vs PnP sensitivity", "",
+            f"Measured on `{noise['experiment']}` ({noise['split']} split,",
+            f"{n['frames']} frames; `experiments/keypoint_noise.py`): the two",
+            "error sources of the keypoints deployment path, separated.",
+            "",
+            f"Keypoint pixel error vs ground-truth projections: RMSE"
+            f" {n['rmse_px']:.2f}px, median {n['median_px']:.2f}px, P90"
+            f" {n['p90_px']:.2f}px (equivalent per-axis Gaussian sigma ~"
+            f"{n['equiv_gaussian_sigma_px']:.2f}px; gross-outlier rate"
+            f" {n['outlier_rate_3rmse']:.2%}).",
+            "",
+            "PnP sensitivity (ground-truth keypoints + synthetic Gaussian",
+            "pixel noise, decoded through both solvers):",
+            "",
+            "| sigma (px) | EPnP ESA | RANSAC ESA |",
+            "|---|---|---|",
+        ]
+        for s, row in noise["pnp_sensitivity"].items():
+            lines.append(f"| {s} | {_fmt(row['epnp']['esa_score'])} |"
+                         f" {_fmt(row['ransac']['esa_score'])} |")
+        lines += [
+            "",
+            f"Model's actual decode: EPnP ESA {_fmt(act['epnp']['esa_score'])},"
+            f" RANSAC ESA {_fmt(act['ransac']['esa_score'])} — place the"
+            " measured sigma on the curve above to see whether the mode is"
+            " regressor-bound (predicted == actual) or solver-bound"
+            " (actual >> predicted).",
+        ]
+
+    fab = _load(os.path.join(suite_dir, "filter_ab.json"))
+    if fab:
+        lines += [
+            "", "### Temporal filter A/B (all implemented filters)", "",
+            "Every alternative filter (`temporal/filters.py`, counterparts of",
+            "the reference's `src/temporal/{filter,kalman,moving_average}.py`)",
+            "scored against the adaptive PDF filter on the same 11 scenarios",
+            "(`experiments/filter_ab.py`). Free parameters fitted on the tune",
+            f"split {fab['tune_split']}; the holdout column",
+            f"({fab['holdout_split']}) is the honest comparison.",
+            "",
+            "| filter | ESA all-11 | ESA tune | ESA holdout | ori (deg) | pos (m) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for name in ("still", "pdf_ref", "pdf_tuned", "kalman", "ema", "ma", "fir"):
+            if name not in fab["summary"]:
+                continue
+            s = fab["summary"][name]
+            lines.append(
+                f"| {name} | {_fmt(s['esa_all'])} | {_fmt(s['esa_tune'])} |"
+                f" {_fmt(s['esa_holdout'])} | {s['ori_deg_all']:.2f} |"
+                f" {s['pos_m_all']:.3f} |")
+        best = min((k for k in fab["summary"] if k != "still"),
+                   key=lambda k: fab["summary"][k]["esa_holdout"])
+        lines += ["",
+                  f"Best holdout filter: **{best}** "
+                  f"(params: `{json.dumps(fab['results'][best]['params'])}`).)"
+                  .replace(").)", ")."),
+                  ]
 
     sweep = _load(os.path.join(os.path.dirname(suite_dir.rstrip("/")),
                                "bitwidth_sweep", "results.json")) \
