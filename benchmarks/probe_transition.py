@@ -124,6 +124,8 @@ def main():
     ap.add_argument("--pairs", default="",
                     help="comma-separated first-block indices (default: all "
                          "fusable consecutive pairs)")
+    ap.add_argument("--force", action="store_true",
+                    help="re-measure pairs already in transition_costs.json")
     args = ap.parse_args()
 
     from spef_tpu.models.wrapper import import_model
@@ -170,14 +172,31 @@ def main():
     wanted = ([int(x) for x in args.pairs.split(",") if x]
               if args.pairs else None)
     rng = np.random.RandomState(0)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "transition_costs.json")
     results = {}
+    if os.path.exists(out):  # resume: measured pairs survive a killed run
+        with open(out) as f:
+            results = json.load(f)
     tbl = dict(load_tuning())
+
+    def persist():
+        save_tuning(tbl)
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+
     for (i, hh, ww, cin, in_step, uns) in entry[:-1]:
         if wanted is not None and i not in wanted:
             continue
         if not (_block_fusable(blocks[i], hh, ww)
                 and _block_fusable(blocks[i + 1], hh,
                                    ww // blocks[i]["depthwise"]["stride"])):
+            continue
+        key = f"trans:{sigs[i + 1]}->{sigs[i + 2]}"
+        if key in results and not args.force:
+            print(json.dumps({"pair": i, "skipped": "already measured"}),
+                  flush=True)
+            tbl[key] = {**results[key], "batch": args.batch}
             continue
         x = jnp.asarray(rng.randint(-8, 8, (args.batch, hh, ww, cin))
                         .astype(np.int8))
@@ -189,27 +208,24 @@ def main():
                 ms = _time_fn(fn, x, args.iters) * 1e3
             except Exception as exc:
                 print(json.dumps({"pair": i, "combo": "->".join(combo),
-                                  "failed": type(exc).__name__}))
+                                  "failed": type(exc).__name__}), flush=True)
                 t = None
                 break
             t["->".join(combo)] = round(ms, 4)
             print(json.dumps({"pair": i, "combo": "->".join(combo),
-                              "ms": t["->".join(combo)]}))
+                              "ms": t["->".join(combo)]}), flush=True)
         if not t:
             continue
         trans = (t["fused->xla"] + t["xla->fused"]
                  - t["fused->fused"] - t["xla->xla"]) / 2.0
-        key = f"trans:{sigs[i + 1]}->{sigs[i + 2]}"
         results[key] = {"pair": i, "timings_ms": t,
                         "transition_ms": round(trans, 4)}
         tbl[key] = {"transition_ms": round(trans, 4), "timings_ms": t,
                     "batch": args.batch}
-        print(json.dumps({"pair": i, "transition_ms": round(trans, 4)}))
-    save_tuning(tbl)
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "transition_costs.json")
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+        print(json.dumps({"pair": i, "transition_ms": round(trans, 4)}),
+              flush=True)
+        persist()  # a killed/timed-out run keeps every finished pair
+    persist()
     print(f"wrote {len(results)} boundary costs -> {out}")
 
 

@@ -28,9 +28,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 from functools import partial
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PDF_DIR = os.environ.get("SPEF_PDF_DIR", "/tmp/video_pdfs")
 OUT_JSON = os.path.join(os.path.dirname(__file__), "accuracy_suite", "temporal_tuning.json")
