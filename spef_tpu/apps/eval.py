@@ -36,6 +36,11 @@ def main(argv=None):
                         help="keypoints mode: decode through the batched "
                              "RANSAC PnP solver (robust to gross keypoint "
                              "outliers) instead of plain EPnP")
+    parser.add_argument("--border-gate", type=float, default=None,
+                        help="keypoints mode: zero-weight predictions within "
+                             "this normalized margin of the frame border "
+                             "(border-saturated = off-frame keypoint) in the "
+                             "PnP solve; composes with --ransac")
     args = parser.parse_args(argv)
 
     set_seed(args.seed)
@@ -53,6 +58,7 @@ def main(argv=None):
         n_pos_bins_per_dim=cfg.MODEL.HEAD.N_POS_BINS_PER_DIM,
         pos_smooth_factor=cfg.DATA.POS_SMOOTH_FACTOR,
         keypoints_ransac=args.ransac,
+        keypoints_border_gate=args.border_gate,
     )
     data, split = load_dataset(data_path, args.batch_size, tuple(cfg.DATA.IMG_SIZE),
                                cache=args.cache_dataset)
@@ -87,9 +93,11 @@ def main(argv=None):
             f"ori_err={rec_error[phase]['ori'][0]:.2f}deg (+/-{rec_error[phase]['ori_std'][0]:.2f}) "
             f"pos_err={rec_error[phase]['pos'][0]:.3f}m (+/-{rec_error[phase]['pos_std'][0]:.3f})"
         )
-    # RANSAC-decode results get their own sidecar so A/B runs don't
+    # RANSAC-/gate-decode results get their own sidecar so A/B runs don't
     # overwrite the plain-EPnP evaluation.
     name = "eval_score_error_ransac" if args.ransac else "eval_score_error"
+    if args.border_gate is not None:
+        name += "_gated"
     save_score_error(args.experiment, rec_score, rec_error, name=name)
 
 

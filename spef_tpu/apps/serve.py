@@ -51,6 +51,9 @@ def main(argv=None):
     parser.add_argument("--ransac", action="store_true",
                         help="keypoints mode: RANSAC PnP decode (robust to "
                              "gross keypoint outliers) instead of plain EPnP")
+    parser.add_argument("--border-gate", type=float, default=None,
+                        help="keypoints mode: zero-weight border-saturated "
+                             "predictions in the PnP decode (off-frame gate)")
     args = parser.parse_args(argv)
     if bool(args.experiment) == bool(args.artifact):
         parser.error("exactly one of --experiment / --artifact is required")
@@ -85,6 +88,7 @@ def main(argv=None):
         # program; other modes skip building the KeyPoints helper.
         use_keypoints="keypoints" in (cfg.MODEL.HEAD.ORI, cfg.MODEL.HEAD.POS),
         keypoints_ransac=args.ransac,
+        keypoints_border_gate=args.border_gate,
     )
     img_size = tuple(cfg.DATA.IMG_SIZE)
 

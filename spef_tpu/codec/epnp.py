@@ -82,20 +82,29 @@ def undistort_points(
     return jnp.stack([x, y], axis=-1)
 
 
-def _choose_control_points(pws: jax.Array) -> jax.Array:
+def _choose_control_points(pws: jax.Array, w: Optional[jax.Array] = None) -> jax.Array:
     """Control points = centroid + principal axes scaled by data spread.
 
-    ``pws``: (N, 3) world points -> (4, 3) control points.
+    ``pws``: (N, 3) world points -> (4, 3) control points.  Optional ``w``
+    (N,) point weights (e.g. a validity gate over the 2D observations):
+    zero-weight points drop out of the centroid/spread statistics so the
+    control frame is built from the constraining points only.
     """
-    n = pws.shape[0]
-    c0 = jnp.mean(pws, axis=0)
-    a = pws - c0
+    if w is None:
+        n = pws.shape[0]
+        c0 = jnp.mean(pws, axis=0)
+        a = pws - c0
+        sw = jnp.asarray(float(n), pws.dtype)
+    else:
+        sw = jnp.sum(w)
+        c0 = (w @ pws) / sw
+        a = (pws - c0) * jnp.sqrt(w)[:, None]
     ata = a.T @ a  # (3, 3) symmetric
-    w, v = jnp.linalg.eigh(ata)  # ascending
+    ew, v = jnp.linalg.eigh(ata)  # ascending
     # Descending order to match the EPnP convention.
-    w = w[::-1]
+    ew = ew[::-1]
     v = v[:, ::-1]
-    k = jnp.sqrt(jnp.maximum(w, 0.0) / n)  # (3,)
+    k = jnp.sqrt(jnp.maximum(ew, 0.0) / sw)  # (3,)
     cs = c0 + (v * k).T  # rows: c0 + k_i * eigvec_i
     return jnp.concatenate([c0[None], cs], axis=0)  # (4, 3)
 
@@ -115,10 +124,14 @@ def _barycentric(pws: jax.Array, cws: jax.Array) -> jax.Array:
     return jnp.concatenate([a0, a123], axis=-1)
 
 
-def _fill_M(alphas: jax.Array, uv: jax.Array) -> jax.Array:
+def _fill_M(alphas: jax.Array, uv: jax.Array,
+            w: Optional[jax.Array] = None) -> jax.Array:
     """EPnP measurement matrix in normalized coords (fu=fv=1, uc=vc=0).
 
-    ``alphas``: (N, 4), ``uv``: (N, 2) normalized -> M (2N, 12).
+    ``alphas``: (N, 4), ``uv``: (N, 2) normalized -> M (2N, 12).  With ``w``
+    (N,), each point's row pair is scaled by sqrt(w_i) so the null-space
+    eigenproblem solves the weighted least squares M^T diag(w) M; binary
+    weights remove the point's constraints entirely.
     """
     n = alphas.shape[0]
     u = uv[..., 0]
@@ -128,6 +141,8 @@ def _fill_M(alphas: jax.Array, uv: jax.Array) -> jax.Array:
     row_u = jnp.stack([alphas, zeros, -alphas * u[:, None]], axis=-1)  # (N, 4, 3)
     row_v = jnp.stack([zeros, alphas, -alphas * v[:, None]], axis=-1)
     m = jnp.stack([row_u, row_v], axis=1)  # (N, 2, 4, 3)
+    if w is not None:
+        m = m * jnp.sqrt(w)[:, None, None, None]
     return m.reshape(2 * n, 12)
 
 
@@ -253,23 +268,33 @@ def _gauss_newton(l_mat: jax.Array, rho: jax.Array, betas: jax.Array) -> jax.Arr
 
 
 def _compute_ccs_pcs(
-    betas: jax.Array, vs: jax.Array, alphas: jax.Array
+    betas: jax.Array, vs: jax.Array, alphas: jax.Array,
+    w: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Camera-frame control points and world points from betas."""
     ccs = jnp.einsum("k,kc->c", betas, vs).reshape(4, 3)  # (4, 3)
     pcs = alphas @ ccs  # (N, 3)
-    # Sign fix: all depths must be positive.
-    flip = jnp.sum(jnp.sign(pcs[:, 2])) < 0
+    # Sign fix: all (weighted) depths must be positive.
+    signs = jnp.sign(pcs[:, 2])
+    flip = jnp.sum(signs if w is None else w * signs) < 0
     s = jnp.where(flip, -1.0, 1.0)
     return ccs * s, pcs * s
 
 
-def _horn_rt(pws: jax.Array, pcs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def _horn_rt(pws: jax.Array, pcs: jax.Array,
+             w: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
     """Absolute orientation (no scale): find R, t s.t. pcs ~= R @ pws + t."""
-    cw = jnp.mean(pws, axis=0)
-    cc = jnp.mean(pcs, axis=0)
-    a = pws - cw
-    b = pcs - cc
+    if w is None:
+        cw = jnp.mean(pws, axis=0)
+        cc = jnp.mean(pcs, axis=0)
+        a = pws - cw
+        b = pcs - cc
+    else:
+        sw = jnp.sum(w)
+        cw = (w @ pws) / sw
+        cc = (w @ pcs) / sw
+        a = (pws - cw) * w[:, None]
+        b = pcs - cc
     h = b.T @ a  # (3, 3) correlation
     u, _, vt = jnp.linalg.svd(h)
     d = jnp.sign(jnp.linalg.det(u @ vt))
@@ -279,22 +304,30 @@ def _horn_rt(pws: jax.Array, pcs: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return r, t
 
 
-def _reproj_error(r, t, pws, uv_norm):
+def _reproj_error(r, t, pws, uv_norm, w: Optional[jax.Array] = None):
     pc = pws @ r.T + t
     proj = pc[:, :2] / pc[:, 2:3]
-    return jnp.mean(jnp.sum((proj - uv_norm) ** 2, axis=-1))
+    e = jnp.sum((proj - uv_norm) ** 2, axis=-1)
+    if w is None:
+        return jnp.mean(e)
+    return jnp.sum(w * e) / jnp.maximum(jnp.sum(w), 1e-6)
 
 
 @partial(jax.jit, static_argnames=())
 @_f32_matmuls
-def _epnp_normalized(pws: jax.Array, uv_norm: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def _epnp_normalized(pws: jax.Array, uv_norm: jax.Array,
+                     w: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
     """Core EPnP on normalized image coordinates.
 
-    ``pws``: (N, 3), ``uv_norm``: (N, 2) -> (R (3,3), t (3,)).
+    ``pws``: (N, 3), ``uv_norm``: (N, 2) -> (R (3,3), t (3,)).  Optional
+    ``w`` (N,) point weights: every least-squares stage (control-point
+    statistics, null-space system, Horn alignment, candidate scoring)
+    becomes its weighted counterpart, so zero-weight observations are
+    excluded from the solve entirely.
     """
-    cws = _choose_control_points(pws)
+    cws = _choose_control_points(pws, w)
     alphas = _barycentric(pws, cws)
-    m = _fill_M(alphas, uv_norm)
+    m = _fill_M(alphas, uv_norm, w)
     mtm = m.T @ m  # (12, 12) symmetric
     _, v = jnp.linalg.eigh(mtm)  # ascending eigenvalues
     vs = v[:, :4].T  # (4, 12): null-space vectors, smallest eigenvalue first
@@ -306,9 +339,9 @@ def _epnp_normalized(pws: jax.Array, uv_norm: jax.Array) -> Tuple[jax.Array, jax
     for approx in (_betas_approx_1, _betas_approx_2, _betas_approx_3):
         betas0 = approx(l_mat, rho)
         betas = _gauss_newton(l_mat, rho, betas0)
-        ccs, pcs = _compute_ccs_pcs(betas, vs, alphas)
-        r, t = _horn_rt(pws, pcs)
-        err = _reproj_error(r, t, pws, uv_norm)
+        ccs, pcs = _compute_ccs_pcs(betas, vs, alphas, w)
+        r, t = _horn_rt(pws, pcs, w)
+        err = _reproj_error(r, t, pws, uv_norm, w)
         candidates.append((err, r, t))
 
     errs = jnp.stack([c[0] for c in candidates])
@@ -320,18 +353,25 @@ def _epnp_normalized(pws: jax.Array, uv_norm: jax.Array) -> Tuple[jax.Array, jax
 
 @_f32_matmuls
 def _refine_pose(r: jax.Array, t: jax.Array, pws: jax.Array, uv_norm: jax.Array,
-                 iters: int = 5) -> Tuple[jax.Array, jax.Array]:
+                 iters: int = 5,
+                 w: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
     """Gauss-Newton reprojection refinement on se(3) around an initial pose.
 
     Counterpart of OpenCV's iterative refinement (SOLVEPNP_ITERATIVE uses
     the same normal-equation step); EPnP output is close enough that a few
-    fixed iterations converge.  Keeps the solver fully jittable.
+    fixed iterations converge.  Keeps the solver fully jittable.  Optional
+    ``w`` (N,) weights scale each point's residual/Jacobian rows (sqrt(w)),
+    i.e. the step solves the weighted normal equations.
     """
+    sqw = None if w is None else jnp.sqrt(w)[:, None]
 
     def residual(r, t):
         pc = pws @ r.T + t
         proj = pc[:, :2] / pc[:, 2:3]
-        return (proj - uv_norm).reshape(-1), pc
+        res = proj - uv_norm
+        if sqw is not None:
+            res = res * sqw
+        return res.reshape(-1), pc
 
     def skew(v):
         return jnp.array([
@@ -371,7 +411,10 @@ def _refine_pose(r: jax.Array, t: jax.Array, pws: jax.Array, uv_norm: jax.Array,
                 jnp.concatenate([jv_w, dv], axis=-1)[:, None, :],
             ],
             axis=1,
-        ).reshape(2 * n, 6)
+        )
+        if sqw is not None:
+            j = j * sqw[:, :, None]
+        j = j.reshape(2 * n, 6)
         delta = _lstsq(j, -res)
         r_new = exp_so3(delta[:3]) @ r
         t_new = t + delta[3:]
@@ -386,12 +429,18 @@ def epnp_solve(
     K: jax.Array,
     dist: Optional[jax.Array] = None,
     refine: bool = True,
+    weights: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Solve a single PnP problem: world points + pixel points -> (R, t)."""
+    """Solve a single PnP problem: world points + pixel points -> (R, t).
+
+    Optional ``weights`` (N,) per-point confidences/validity gates: every
+    least-squares stage becomes its weighted counterpart, so zero-weight
+    observations drop out of the solve entirely.
+    """
     uv = undistort_points(pts2d, K, dist)
-    r, t = _epnp_normalized(pts3d, uv)
+    r, t = _epnp_normalized(pts3d, uv, weights)
     if refine:
-        r, t = _refine_pose(r, t, pts3d, uv)
+        r, t = _refine_pose(r, t, pts3d, uv, w=weights)
     return r, t
 
 
@@ -401,25 +450,30 @@ def epnp_solve_batch(
     K: jax.Array,
     dist: Optional[jax.Array] = None,
     refine: bool = True,
+    weights: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched solve: ``pts3d`` (N, 3) shared, ``pts2d`` (B, N, 2) pixels.
 
     Returns ``(R (B,3,3), t (B,3))``.  Replaces the reference's per-sample
     ``cv2.solvePnP`` python loop (`keypoints_utils.py:152-174`).
+
+    Optional ``weights`` (B, N) per-point confidences (e.g. a validity gate
+    over a trained regressor's predictions): zero-weight points are excluded
+    from every least-squares stage of the per-sample solve.
     """
     uv = undistort_points(pts2d, K, dist)
 
-    def solve_one(u):
-        r0, t0 = _epnp_normalized(pts3d, u)
+    def solve_one(u, w):
+        r0, t0 = _epnp_normalized(pts3d, u, w)
         r, t = r0, t0
         if refine:
-            r, t = _refine_pose(r0, t0, pts3d, u)
+            r, t = _refine_pose(r0, t0, pts3d, u, w=w)
             # GN on garbage keypoints can diverge (points behind the camera
             # make the reprojection landscape non-convex); keep the refined
             # pose only when it actually reduces reprojection error and
             # stays finite — otherwise fall back to the EPnP closed form.
-            e0 = _reproj_error(r0, t0, pts3d, u)
-            e1 = _reproj_error(r, t, pts3d, u)
+            e0 = _reproj_error(r0, t0, pts3d, u, w)
+            e1 = _reproj_error(r, t, pts3d, u, w)
             worse = ~(jnp.isfinite(e1) & (e1 <= e0))
             r = jnp.where(worse, r0, r)
             t = jnp.where(worse, t0, t)
@@ -430,7 +484,9 @@ def epnp_solve_batch(
         t = jnp.where(bad, jnp.asarray([0.0, 0.0, 10.0], t.dtype), t)
         return r, t
 
-    return jax.vmap(solve_one)(uv)
+    if weights is None:
+        return jax.vmap(lambda u: solve_one(u, None))(uv)
+    return jax.vmap(solve_one)(uv, weights.astype(uv.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -449,15 +505,20 @@ def epnp_ransac(
     subset_size: int = 6,
     inlier_threshold_px: float = 8.0,
     refine: bool = True,
+    weights: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """RANSAC-robust batched EPnP: (B, N, 2) pixels -> (R, t, inlier_mask).
 
     Outlier-tolerant variant of :func:`epnp_solve_batch` for noisy keypoint
     regressors: fixed-count hypothesis loop (jittable), each hypothesis
-    solves EPnP on a random minimal subset via a soft point-weighting (the
-    non-selected points are displaced out of the null-space fit by masking
-    their M-matrix rows), inliers scored by reprojection distance, and the
-    winning hypothesis is Gauss-Newton refined on its inlier set.
+    solves EPnP on a random minimal subset, inliers scored by reprojection
+    distance, and the winning hypothesis is Gauss-Newton refined on its
+    inlier set.
+
+    Optional ``weights`` (B, N) per-point validity gates compose with the
+    consensus machinery: zero-weight points are excluded from every solve
+    (hypothesis subsets, full-set anchor, refinement) and cannot vote as
+    inliers.
     """
     n = pts3d.shape[0]
     if key is None:
@@ -473,15 +534,20 @@ def epnp_ransac(
         lambda k: jax.random.choice(k, n, shape=(subset_size,), replace=False)
     )(jax.random.split(key, n_hypotheses))  # (H, S)
 
-    def solve_sample(uv):  # uv: (N, 2) normalized
+    def solve_sample(uv, wv):  # uv: (N, 2) normalized, wv: (N,) weights | None
+        valid = None if wv is None else wv > 0
+
         def hypothesis(subset):
             sel3d = pts3d[subset]
             sel2d = uv[subset]
-            r, t = _epnp_normalized(sel3d, sel2d)
+            selw = None if wv is None else wv[subset]
+            r, t = _epnp_normalized(sel3d, sel2d, selw)
             pc = pts3d @ r.T + t
             proj = pc[:, :2] / jnp.maximum(pc[:, 2:3], 1e-6)
             err = jnp.linalg.norm(proj - uv, axis=-1)
             inliers = (err < thr_norm) & (pc[:, 2] > 0)
+            if valid is not None:
+                inliers = inliers & valid  # gated points cannot vote
             return r, t, inliers, jnp.sum(inliers)
 
         rs, ts, inl, counts = jax.vmap(hypothesis)(subsets)
@@ -494,10 +560,10 @@ def epnp_ransac(
         # errors of 1e5 m on trained-keypoint eval).  The all-point solve
         # (== epnp_solve_batch's answer) is the stable fallback; a
         # hypothesis wins only by STRICTLY beating it on inlier count.
-        rf0, tf0 = _epnp_normalized(pts3d, uv)
-        rf, tf = _refine_pose(rf0, tf0, pts3d, uv)
-        ef0 = _reproj_error(rf0, tf0, pts3d, uv)
-        ef1 = _reproj_error(rf, tf, pts3d, uv)
+        rf0, tf0 = _epnp_normalized(pts3d, uv, wv)
+        rf, tf = _refine_pose(rf0, tf0, pts3d, uv, w=wv)
+        ef0 = _reproj_error(rf0, tf0, pts3d, uv, wv)
+        ef1 = _reproj_error(rf, tf, pts3d, uv, wv)
         worse_f = ~(jnp.isfinite(ef1) & (ef1 <= ef0))
         rf = jnp.where(worse_f, rf0, rf)
         tf = jnp.where(worse_f, tf0, tf)
@@ -505,6 +571,8 @@ def epnp_ransac(
         projf = pcf[:, :2] / jnp.maximum(pcf[:, 2:3], 1e-6)
         errf = jnp.linalg.norm(projf - uv, axis=-1)
         inliers_f = (errf < thr_norm) & (pcf[:, 2] > 0)
+        if valid is not None:
+            inliers_f = inliers_f & valid
 
         use_hyp = counts[best] > jnp.sum(inliers_f)
         r0 = jnp.where(use_hyp, r0, rf)
@@ -514,8 +582,11 @@ def epnp_ransac(
 
         if refine:
             # GN refinement weighted by the inlier mask (soft: outliers get
-            # zero residual weight via masking).
+            # zero residual weight via masking).  The validity gate composes
+            # multiplicatively so gated points stay out of the refinement.
             w = inliers.astype(jnp.float32)[:, None]
+            if wv is not None:
+                w = w * wv[:, None]
 
             def masked_err(r_, t_):
                 pc = pts3d @ r_.T + t_
@@ -564,4 +635,6 @@ def epnp_ransac(
         t = jnp.where(bad, jnp.asarray([0.0, 0.0, 10.0], t.dtype), t)
         return r, t, inliers
 
-    return jax.vmap(solve_sample)(uv_all)
+    if weights is None:
+        return jax.vmap(lambda uv: solve_sample(uv, None))(uv_all)
+    return jax.vmap(solve_sample)(uv_all, weights.astype(uv_all.dtype))

@@ -39,6 +39,10 @@ class SPEUtils:
     # RANSAC PnP for keypoints-mode decode (robust to gross regressor
     # outliers; ~16x solve cost — still negligible next to the backbone).
     keypoints_ransac: bool = False
+    # Border-saturation validity gate (normalized margin) for keypoints-mode
+    # decode: off-frame keypoints saturate at the sigmoid border and poison
+    # PnP; the gate zero-weights them (see KeyPoints.decode_batch).
+    keypoints_border_gate: Optional[float] = None
 
     @classmethod
     def create(
@@ -53,6 +57,7 @@ class SPEUtils:
         pos_smooth_factor: float = 100,
         use_keypoints: bool = True,
         keypoints_ransac: bool = False,
+        keypoints_border_gate: Optional[float] = None,
     ) -> "SPEUtils":
         assert ori_mode in MODES and pos_mode in MODES
         orientation = OrientationSoftClassification.create(
@@ -71,6 +76,7 @@ class SPEUtils:
             position=position,
             keypoints=kp,
             keypoints_ransac=keypoints_ransac,
+            keypoints_border_gate=keypoints_border_gate,
         )
 
     # ------------------------------------------------------------------
@@ -98,7 +104,8 @@ class SPEUtils:
         if self.ori_mode == "keypoints" and self.pos_mode == "keypoints":
             assert self.keypoints is not None
             pose.update(self.keypoints.decode_batch(
-                pose["keypoints"], ransac=self.keypoints_ransac))
+                pose["keypoints"], ransac=self.keypoints_ransac,
+                border_gate=self.keypoints_border_gate))
             return pose
         if self.ori_mode == "classification":
             pose["ori"], _ = self.orientation.decode_batch(pose["ori_soft"])

@@ -107,7 +107,13 @@ class KeyPoints:
         uv = uv / norm
         return uv.reshape(*uv.shape[:-2], -1).astype(jnp.float32)
 
-    def decode_batch(self, keypoints2d: jax.Array, ransac: bool = False) -> dict:
+    def decode_batch(
+        self,
+        keypoints2d: jax.Array,
+        ransac: bool = False,
+        border_gate: Optional[float] = None,
+        min_gated_points: int = 6,
+    ) -> dict:
         """Batched PnP decode of normalized keypoint predictions -> pose dict.
 
         ``keypoints2d``: (B, 2*(N+1)) normalized, origin first (which is
@@ -118,6 +124,16 @@ class KeyPoints:
         (:func:`spef_tpu.codec.epnp.epnp_ransac`) instead of plain EPnP —
         robust to a minority of grossly-wrong keypoints from a trained
         regressor, at ~16x the solve cost (still microseconds/frame).
+
+        ``border_gate``: optional margin (normalized units).  Keypoints that
+        project outside the frame saturate at the sigmoid border during
+        training (the labels are NOT clipped — `keypoints_utils.py:92-110`
+        normalizes raw projections — so off-frame truth pulls predictions to
+        the border); such predictions are gross outliers to PnP.  With a
+        gate, predictions within ``border_gate`` of 0/1 in either coordinate
+        get weight 0 in the solve (:mod:`spef_tpu.codec.epnp` weighted
+        path).  Frames with fewer than ``min_gated_points`` surviving points
+        branchlessly fall back to the ungated all-point solve.
         """
         kp = jnp.atleast_2d(keypoints2d)
         b = kp.shape[0]
@@ -126,14 +142,23 @@ class KeyPoints:
         uv_px = uv * scale
         uv_px = uv_px[:, 1:, :]  # drop the origin point
 
+        weights = None
+        if border_gate is not None:
+            m = float(border_gate)
+            xy = uv[:, 1:, :]  # normalized coords sans origin
+            inside = jnp.all((xy > m) & (xy < 1.0 - m), axis=-1)  # (B, N)
+            w = inside.astype(jnp.float32)
+            enough = jnp.sum(w, axis=-1, keepdims=True) >= min_gated_points
+            weights = jnp.where(enough, w, jnp.ones_like(w))
+
         K = jnp.asarray(self.camera.K, jnp.float32)
         dist = None if self.camera.dist_coeffs is None else jnp.asarray(self.camera.dist_coeffs, jnp.float32)
         if ransac:
             from spef_tpu.codec.epnp import epnp_ransac
 
-            r, t, _ = epnp_ransac(self.keypoints3d, uv_px, K, dist)
+            r, t, _ = epnp_ransac(self.keypoints3d, uv_px, K, dist, weights=weights)
         else:
-            r, t = epnp_solve_batch(self.keypoints3d, uv_px, K, dist)
+            r, t = epnp_solve_batch(self.keypoints3d, uv_px, K, dist, weights=weights)
         ori = dcm2quat(r).astype(jnp.float32)
         return {"ori": ori, "pos": t.astype(jnp.float32)}
 

@@ -149,7 +149,10 @@ TRAIN:
 
     eval_app.main(["--experiment", str(exp), "--batch-size", "5"])
     eval_app.main(["--experiment", str(exp), "--batch-size", "5", "--ransac"])
-    for name in ("eval_score_error", "eval_score_error_ransac"):
+    eval_app.main(["--experiment", str(exp), "--batch-size", "5", "--ransac",
+                   "--border-gate", "0.02"])
+    for name in ("eval_score_error", "eval_score_error_ransac",
+                 "eval_score_error_ransac_gated"):
         with open(exp / f"{name}.json") as f:
             rec = json.load(f)
         assert np.isfinite(rec["scores"]["valid"]["esa"][0])

@@ -271,3 +271,140 @@ class TestRansacDecodeOption:
         assert np.median(ang_rob) < np.median(ang_plain)
         assert np.median(ang_rob) < 5.0
         assert np.isfinite(np.asarray(robust["pos"])).all()
+
+
+class TestWeightedEPnP:
+    """Weighted solves: per-point validity gates thread through every
+    least-squares stage (control points, null space, Horn, GN refinement).
+    Motivated by border-saturated heatmap predictions: off-frame keypoints
+    saturate at the sigmoid border (labels are unclipped raw projections,
+    `keypoints_utils.py:92-110`) and become gross-but-identifiable outliers."""
+
+    def _exact(self, n=6, seed=21, z_range=(6, 14)):
+        camera = SPEED_CAMERA
+        q, pos = make_poses(n, seed=seed, z_range=z_range)
+        kp = KeyPoints.create(camera)
+        uv = np.asarray(kp.project(jnp.asarray(q), jnp.asarray(pos)))[:, 1:, :]
+        return camera, q, pos, uv
+
+    def test_zero_weight_points_are_excluded(self):
+        """Gross corruption on zero-weight points must not perturb the solve:
+        the weighted result on corrupted data == near-exact recovery."""
+        camera, q, pos, uv = self._exact()
+        rng = np.random.RandomState(22)
+        uv_bad = uv.copy()
+        w = np.ones(uv.shape[:2], np.float32)
+        for b in range(uv.shape[0]):
+            idx = rng.choice(uv.shape[1], 3, replace=False)
+            uv_bad[b, idx] += rng.randn(3, 2) * 500.0
+            w[b, idx] = 0.0
+
+        K = jnp.asarray(camera.K, jnp.float32)
+        pts3d = jnp.asarray(TANGO_3D_KEYPOINTS)
+        r_w, t_w = epnp_solve_batch(pts3d, jnp.asarray(uv_bad), K,
+                                    weights=jnp.asarray(w))
+        r_u, t_u = epnp_solve_batch(pts3d, jnp.asarray(uv_bad), K)
+        ang_w = np.rad2deg(np.asarray(rot.quat_angle(jnp.asarray(q), rot.dcm2quat(r_w))))
+        ang_u = np.rad2deg(np.asarray(rot.quat_angle(jnp.asarray(q), rot.dcm2quat(r_u))))
+        pos_w = np.linalg.norm(np.asarray(t_w) - pos, axis=-1)
+        assert ang_w.max() < 1.0, ang_w  # corrupted points fully excluded
+        assert pos_w.max() < 0.1, pos_w
+        assert ang_w.max() < np.median(ang_u)  # unweighted is poisoned
+
+    def test_all_ones_weights_match_unweighted(self):
+        camera, q, pos, uv = self._exact(seed=23)
+        rng = np.random.RandomState(24)
+        uv_n = uv + rng.randn(*uv.shape).astype(np.float32) * 2.0
+        K = jnp.asarray(camera.K, jnp.float32)
+        pts3d = jnp.asarray(TANGO_3D_KEYPOINTS)
+        r_w, t_w = epnp_solve_batch(pts3d, jnp.asarray(uv_n), K,
+                                    weights=jnp.ones(uv.shape[:2], jnp.float32))
+        r_u, t_u = epnp_solve_batch(pts3d, jnp.asarray(uv_n), K)
+        np.testing.assert_allclose(np.asarray(t_w), np.asarray(t_u), rtol=1e-3, atol=1e-3)
+        ang = np.rad2deg(np.asarray(rot.quat_angle(rot.dcm2quat(r_w), rot.dcm2quat(r_u))))
+        assert ang.max() < 0.1, ang
+
+    def test_ransac_with_validity_gate(self):
+        """Weights compose with RANSAC: gated points cannot vote as inliers
+        and are excluded from the anchor + refinement solves."""
+        from spef_tpu.codec.epnp import epnp_ransac
+
+        camera, q, pos, uv = self._exact(n=4, seed=25)
+        rng = np.random.RandomState(26)
+        uv_bad = uv + rng.randn(*uv.shape).astype(np.float32) * 1.5
+        w = np.ones(uv.shape[:2], np.float32)
+        for b in range(uv.shape[0]):
+            idx = rng.choice(uv.shape[1], 3, replace=False)
+            uv_bad[b, idx] += 400.0
+            w[b, idx] = 0.0
+
+        K = jnp.asarray(camera.K, jnp.float32)
+        r, t, inliers = epnp_ransac(
+            jnp.asarray(TANGO_3D_KEYPOINTS), jnp.asarray(uv_bad), K,
+            key=jax.random.PRNGKey(9), weights=jnp.asarray(w))
+        ang = np.rad2deg(np.asarray(rot.quat_angle(jnp.asarray(q), rot.dcm2quat(r))))
+        pos_err = np.linalg.norm(np.asarray(t) - pos, axis=-1)
+        assert ang.max() < 3.0, ang
+        assert pos_err.max() < 0.3, pos_err
+        # Gated points must never appear as inliers.
+        assert not np.any(np.asarray(inliers) & (w == 0.0))
+
+
+class TestBorderGateDecode:
+    def _border_saturated_labels(self, n=8, seed=31):
+        """Poses close enough that 1-3 keypoints project off-frame, with the
+        predictions border-saturated the way a sigmoid/soft-argmax head
+        emits them (truth outside [0,1] -> prediction pinned near the edge)."""
+        camera = SPEED_CAMERA
+        rng = np.random.RandomState(seed)
+        q = np.asarray(rot.generate_orientation(jax.random.PRNGKey(seed), n)).astype(np.float32)
+        z = rng.uniform(3.2, 4.5, n)
+        x = rng.uniform(0.05, 0.18, n) * z * rng.choice([-1, 1], n)
+        y = rng.uniform(0.05, 0.18, n) * z * rng.choice([-1, 1], n)
+        pos = np.stack([x, y, z], axis=-1).astype(np.float32)
+        kp = KeyPoints.create(camera)
+        labels = np.asarray(kp.create_keypoints2d(jnp.asarray(q), jnp.asarray(pos)))
+        off = ((labels < 0) | (labels > 1)).reshape(n, -1, 2).any(-1)
+        sat = np.clip(labels, 5e-3, 1 - 5e-3)  # border saturation
+        return kp, q, pos, sat, off
+
+    def test_border_gate_beats_ungated_on_saturated_frames(self):
+        kp, q, pos, sat, off = self._border_saturated_labels()
+        assert off[:, 1:].any(), "fixture must have off-frame keypoints"
+        plain = kp.decode_batch(jnp.asarray(sat))
+        gated = kp.decode_batch(jnp.asarray(sat), border_gate=0.02)
+        ang_p = np.rad2deg(np.asarray(rot.quat_angle(jnp.asarray(q), plain["ori"])))
+        ang_g = np.rad2deg(np.asarray(rot.quat_angle(jnp.asarray(q), gated["ori"])))
+        pos_g = np.linalg.norm(np.asarray(gated["pos"]) - pos, axis=-1)
+        # Frames with >= 6 surviving points get the gated solve -> the
+        # saturated outliers drop out and recovery is near-exact.  Frames
+        # below the floor branchlessly keep the ungated all-point solve.
+        xy = sat.reshape(sat.shape[0], -1, 2)[:, 1:, :]
+        inside = ((xy > 0.02) & (xy < 0.98)).all(-1)  # decode's own gate rule
+        applies = inside.sum(-1) >= 6
+        assert applies.any(), "fixture must have gate-eligible frames"
+        assert ang_g[applies].max() < 1.0, (ang_g, ang_p)
+        assert pos_g[applies].max() < 0.1
+        assert ang_g.mean() < ang_p.mean()
+        np.testing.assert_allclose(ang_g[~applies], ang_p[~applies], atol=1e-3)
+
+    def test_border_gate_falls_back_when_too_few_points(self):
+        """A frame with (nearly) all points at the border keeps the ungated
+        all-point solve instead of solving a degenerate gated system."""
+        kp, q, pos, sat, _ = self._border_saturated_labels(seed=32)
+        all_border = np.full_like(sat[:1], 0.001)
+        labels = np.concatenate([sat, all_border])
+        gated = kp.decode_batch(jnp.asarray(labels), border_gate=0.02)
+        assert np.isfinite(np.asarray(gated["ori"])).all()
+        assert np.isfinite(np.asarray(gated["pos"])).all()
+
+    def test_border_gate_noop_on_clean_frames(self):
+        """Frames with every keypoint well inside the image are unaffected."""
+        camera = SPEED_CAMERA
+        q, pos = make_poses(5, seed=33, z_range=(12, 25))
+        kp = KeyPoints.create(camera)
+        labels = kp.create_keypoints2d(jnp.asarray(q), jnp.asarray(pos))
+        plain = kp.decode_batch(labels)
+        gated = kp.decode_batch(labels, border_gate=0.02)
+        np.testing.assert_allclose(np.asarray(gated["pos"]), np.asarray(plain["pos"]),
+                                   rtol=1e-4, atol=1e-4)
