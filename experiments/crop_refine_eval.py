@@ -1,0 +1,203 @@
+"""Two-pass crop-refine keypoints evaluation.
+
+Stage 1 (coarse): the full-frame keypoint model predicts rough keypoints;
+a robust crop box is built around them (`codec/crop.py`).  Stage 2 (fine):
+the crop-trained model re-regresses keypoints on the zoomed window; the
+predictions are mapped back to full-frame coordinates and decoded through
+EPnP / RANSAC PnP.
+
+Rows reported:
+  * coarse-only        — the stage-1 model alone (the r4 baseline rows)
+  * two-pass           — predicted box from stage-1 keypoints
+  * two-pass (oracle)  — ground-truth box (upper bound: isolates how much
+                         of the residual error is the detector's box vs the
+                         fine regressor)
+
+Crops are produced by the synthetic window renderer (the renderer IS the
+scene — an ideal sensor crop; window floor 0.2 keeps sampling at/below the
+1920-px sensor, `data/synthetic.py::render_frame`).  On real datasets the
+same role is played by cropping the stored full-resolution image.
+
+Reference role being surpassed: the single-pass keypoints deployment mode
+(`/root/reference/src/spe/keypoints_utils.py:92-174`).
+
+Usage:
+    python experiments/crop_refine_eval.py \
+        --coarse experiments/train_synth/exp_keypoints_heatmap_synth \
+        --fine   experiments/train_synth/exp_keypoints_crop_synth \
+        [--data /tmp/dspeed_syn/still] [--split test] [--limit 2000] \
+        [--out experiments/accuracy_suite/crop_refine.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_experiment(experiment: str):
+    from spef_tpu.config.train_config import load_config
+    from spef_tpu.models.wrapper import import_model
+
+    cfg = load_config(os.path.join(experiment, "config.yaml"))
+    model = import_model(
+        backbone_name=cfg.MODEL.BACKBONE.NAME,
+        head_name=cfg.MODEL.HEAD.NAME,
+        img_size=tuple(cfg.DATA.IMG_SIZE),
+        params_path=os.path.join(experiment, "model", "parameters.msgpack"),
+        residual=cfg.MODEL.BACKBONE.RESIDUAL,
+        quantization=cfg.MODEL.QUANTIZATION,
+        ori_mode=cfg.MODEL.HEAD.ORI,
+        pos_mode=cfg.MODEL.HEAD.POS,
+    )
+    return cfg, model
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from spef_tpu.codec.crop import crop_box_from_keypoints, map_keypoints_from_crop
+    from spef_tpu.codec.facade import SPEUtils
+    from spef_tpu.data.camera import load_camera
+    from spef_tpu.data.dataset import load_dataset
+    from spef_tpu.data.synthetic import render_frame
+    from spef_tpu.pose.score import pose_errors
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coarse", default="experiments/train_synth/exp_keypoints_heatmap_synth")
+    ap.add_argument("--fine", default="experiments/train_synth/exp_keypoints_crop_synth")
+    ap.add_argument("--data", default="/tmp/dspeed_syn/still")
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--limit", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--margin", type=float, default=1.25)
+    ap.add_argument("--out", default="experiments/accuracy_suite/crop_refine.json")
+    args = ap.parse_args(argv)
+
+    cfg_c, model_c = load_experiment(args.coarse)
+    cfg_f, model_f = load_experiment(args.fine)
+    img_size = tuple(cfg_c.DATA.IMG_SIZE)
+    camera = load_camera(args.data)
+    spe = SPEUtils.create(camera, ori_mode="keypoints", pos_mode="keypoints")
+
+    data, _ = load_dataset(args.data, batch_size=args.batch, img_size=img_size)
+    loader = data[args.split]
+
+    def _make_fwd(model):
+        @jax.jit
+        def fwd(images):
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            pred = model.apply(images, False)
+            out = pred[0] if isinstance(pred, tuple) else pred
+            return jax.nn.sigmoid(out)  # keypoints-mode last activation
+        return fwd
+
+    fwd_c = _make_fwd(model_c)
+    fwd_f = _make_fwd(model_f)
+    box_fn = jax.jit(lambda kp: crop_box_from_keypoints(kp, margin=args.margin))
+
+    def gt_box(ori, pos):
+        kp_full = spe.keypoints.create_keypoints2d(jnp.asarray(ori), jnp.asarray(pos))
+        return np.asarray(crop_box_from_keypoints(
+            kp_full, margin=1.2, outlier_k=None))
+
+    def render_crops(oris, poss, boxes):
+        crops = np.zeros((len(boxes),) + img_size + (3,), np.uint8)
+        for i, (q, t, b) in enumerate(zip(oris, poss, boxes)):
+            crops[i] = render_frame(q, t, camera, img_size, window=b,
+                                    rng=np.random.RandomState(i))
+        return crops
+
+    acc = {name: {"ori": [], "pos": [], "norm_pos": []}
+           for name in ("coarse_epnp", "coarse_ransac", "two_pass_epnp",
+                        "two_pass_ransac", "oracle_epnp", "oracle_ransac")}
+    kp_px_err = {"coarse": [], "two_pass": [], "oracle": []}
+    n_done = 0
+
+    def decode_and_score(kp_full, ori_t, pos_t, n_valid, tag_prefix, kp_err_key):
+        gt_kp = spe.keypoints.create_keypoints2d(jnp.asarray(ori_t), jnp.asarray(pos_t))
+        scale = np.asarray([camera.nu, camera.nv], np.float32)
+        err_px = (np.asarray(kp_full).reshape(len(ori_t), -1, 2)
+                  - np.asarray(gt_kp).reshape(len(ori_t), -1, 2)) * scale
+        kp_px_err[kp_err_key].append(
+            np.linalg.norm(err_px, axis=-1)[:n_valid].ravel())
+        for ransac, tag in ((False, f"{tag_prefix}_epnp"), (True, f"{tag_prefix}_ransac")):
+            pose = spe.keypoints.decode_batch(jnp.asarray(kp_full), ransac=ransac)
+            e = pose_errors(jnp.asarray(ori_t), jnp.asarray(pos_t),
+                            pose["ori"], pose["pos"])
+            acc[tag]["ori"].append(np.asarray(e["ori_error"])[:n_valid])
+            acc[tag]["pos"].append(np.asarray(e["pos_error"])[:n_valid])
+            acc[tag]["norm_pos"].append(np.asarray(e["norm_pos_error"])[:n_valid])
+
+    for batch in loader:
+        n_valid = int(batch["mask"].sum())
+        imgs = batch["images"]
+        ori_t, pos_t = batch["ori"], batch["pos"]
+
+        kp1 = fwd_c(jnp.asarray(imgs))
+        decode_and_score(kp1, ori_t, pos_t, n_valid, "coarse", "coarse")
+
+        # Predicted-box two-pass.
+        boxes = np.asarray(box_fn(kp1))
+        crops = render_crops(ori_t, pos_t, boxes)
+        kp2_local = fwd_f(jnp.asarray(crops))
+        kp2 = map_keypoints_from_crop(kp2_local, jnp.asarray(boxes))
+        decode_and_score(kp2, ori_t, pos_t, n_valid, "two_pass", "two_pass")
+
+        # Oracle (ground-truth) box two-pass.
+        oboxes = gt_box(ori_t, pos_t)
+        ocrops = render_crops(ori_t, pos_t, oboxes)
+        kp3_local = fwd_f(jnp.asarray(ocrops))
+        kp3 = map_keypoints_from_crop(kp3_local, jnp.asarray(oboxes))
+        decode_and_score(kp3, ori_t, pos_t, n_valid, "oracle", "oracle")
+
+        n_done += n_valid
+        if n_done >= args.limit:
+            break
+
+    results = {}
+    for tag, v in acc.items():
+        ori = np.concatenate(v["ori"])
+        pos = np.concatenate(v["pos"])
+        npos = np.concatenate(v["norm_pos"])
+        results[tag] = {
+            "esa_score": float(ori.mean() + npos.mean()),
+            "ori_score": float(ori.mean()),
+            "pos_score": float(npos.mean()),
+            "ori_error_deg": float(np.rad2deg(ori.mean())),
+            "pos_error_m": float(pos.mean()),
+        }
+    for k, chunks in kp_px_err.items():
+        e = np.concatenate(chunks)
+        results[f"kp_px_{k}"] = {"rmse": float(np.sqrt((e ** 2).mean())),
+                                 "median": float(np.median(e)),
+                                 "p90": float(np.percentile(e, 90))}
+
+    out = {"coarse_exp": args.coarse, "fine_exp": args.fine,
+           "split": args.split, "frames": n_done, "margin": args.margin,
+           "results": results}
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    for tag in ("coarse_epnp", "coarse_ransac", "two_pass_epnp",
+                "two_pass_ransac", "oracle_epnp", "oracle_ransac"):
+        r = results[tag]
+        print(f"{tag}: esa={r['esa_score']:.4f} ori={r['ori_error_deg']:.2f}deg "
+              f"pos={r['pos_error_m']:.3f}m")
+    for k in ("coarse", "two_pass", "oracle"):
+        r = results[f"kp_px_{k}"]
+        print(f"kp_px_{k}: rmse={r['rmse']:.2f}px median={r['median']:.2f}px "
+              f"p90={r['p90']:.2f}px")
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -117,10 +117,18 @@ class SPEUtils:
     # Target encoding (done in the reference's dataset __getitem__,
     # `src/data/utils.py:232-249`) — here batched and device-side.
     # ------------------------------------------------------------------
-    def encode_targets(self, ori: jax.Array, pos: jax.Array) -> Dict[str, jax.Array]:
+    def encode_targets(self, ori: jax.Array, pos: jax.Array,
+                       crop: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+        """``crop``: optional per-sample ``[cx, cy, s]`` windows — keypoint
+        (and bbox) targets are mapped into crop-local coordinates for the
+        two-stage crop-refine pipeline (codec/crop.py)."""
         target: Dict[str, jax.Array] = {"ori": ori, "pos": pos}
         if self.keypoints is not None:
             kp2d = self.keypoints.create_keypoints2d(ori, pos)
+            if crop is not None:
+                from spef_tpu.codec.crop import map_keypoints_to_crop
+
+                kp2d = map_keypoints_to_crop(kp2d, crop)
             target["keypoints"] = kp2d
             target["bbox"] = self.keypoints.create_bbox_from_keypoints(kp2d)
         if self.ori_mode == "classification":

@@ -48,6 +48,10 @@ class PoseRecord:
     image_path: str
     ori: np.ndarray  # (4,)
     pos: np.ndarray  # (3,)
+    # Optional crop window [cx, cy, s] (normalized full-frame coords) for
+    # crop-refine datasets: the stored image is this window of the sensor
+    # frame, and keypoint labels must be mapped into it (codec/crop.py).
+    crop: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -68,6 +72,7 @@ class Manifest:
                 image_path=os.path.join(images_path, t["filename"]),
                 ori=np.asarray(t[ori_key], np.float32),
                 pos=np.asarray(t[pos_key], np.float32),
+                crop=(np.asarray(t["crop"], np.float32) if "crop" in t else None),
             )
             for t in targets
         ]
@@ -171,6 +176,7 @@ class BatchLoader:
                 n_valid = len(recs)
                 oris = [r.ori for r in recs]
                 poss = [r.pos for r in recs]
+                crops = [r.crop for r in recs] if recs[0].crop is not None else None
                 if self.rot_augment is not None:
                     # Host-side yaw warp with pose update (reference
                     # CustomRotation placement, `data/utils.py:212-217`).
@@ -183,7 +189,9 @@ class BatchLoader:
                     images += [np.zeros_like(images[0])] * pad
                     oris += [oris[-1]] * pad
                     poss += [poss[-1]] * pad
-                yield {
+                    if crops is not None:
+                        crops += [crops[-1]] * pad
+                batch = {
                     "images": np.stack(images),
                     "ori": np.stack(oris),
                     "pos": np.stack(poss),
@@ -191,6 +199,9 @@ class BatchLoader:
                         [np.ones(n_valid, np.float32), np.zeros(bs - n_valid, np.float32)]
                     ),
                 }
+                if crops is not None:
+                    batch["crop"] = np.stack(crops)
+                yield batch
 
 
 class CachedBatchLoader(BatchLoader):
@@ -309,6 +320,9 @@ class CachedBatchLoader(BatchLoader):
         bs = self.batch_size
         oris = np.stack([r.ori for r in self.manifest.records])
         poss = np.stack([r.pos for r in self.manifest.records])
+        crops = (np.stack([r.crop for r in self.manifest.records])
+                 if self.manifest.records and self.manifest.records[0].crop is not None
+                 else None)
         if self.device_resident:
             assert self.rot_augment is None, (
                 "device-resident data cannot use host-side augmentation; "
@@ -320,12 +334,15 @@ class CachedBatchLoader(BatchLoader):
                     break
                 images, mask = self._device_batch(idx, n_valid)
                 idx_p = np.concatenate([idx, np.repeat(idx[-1:], bs - n_valid)])
-                yield {
+                batch = {
                     "images": images,
                     "ori": oris[idx_p].astype(np.float32),
                     "pos": poss[idx_p].astype(np.float32),
                     "mask": mask,
                 }
+                if crops is not None:
+                    batch["crop"] = crops[idx_p].astype(np.float32)
+                yield batch
             return
         for start in range(0, len(order), bs):
             idx = order[start:start + bs]
@@ -339,13 +356,16 @@ class CachedBatchLoader(BatchLoader):
                 ori, pos = ori.copy(), pos.copy()
                 for i in range(len(idx)):
                     images[i], ori[i], pos[i] = self.rot_augment(images[i], ori[i], pos[i])
+            crop = crops[idx] if crops is not None else None
             n_valid = len(idx)
             if n_valid < bs:
                 pad = bs - n_valid
                 images = np.concatenate([images, np.zeros((pad,) + images.shape[1:], np.uint8)])
                 ori = np.concatenate([ori, np.repeat(ori[-1:], pad, 0)])
                 pos = np.concatenate([pos, np.repeat(pos[-1:], pad, 0)])
-            yield {
+                if crop is not None:
+                    crop = np.concatenate([crop, np.repeat(crop[-1:], pad, 0)])
+            batch = {
                 "images": images,
                 "ori": ori.astype(np.float32),
                 "pos": pos.astype(np.float32),
@@ -353,6 +373,9 @@ class CachedBatchLoader(BatchLoader):
                     [np.ones(n_valid, np.float32), np.zeros(bs - n_valid, np.float32)]
                 ),
             }
+            if crop is not None:
+                batch["crop"] = crop.astype(np.float32)
+            yield batch
 
 
 # ---------------------------------------------------------------------------

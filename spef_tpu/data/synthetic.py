@@ -92,15 +92,31 @@ def render_frame(
     img_size: Tuple[int, int] = (1200, 1920),
     noise_std: float = 6.0,
     rng: Optional[np.random.RandomState] = None,
+    window: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Render one wireframe frame (H, W, 3) uint8 at camera resolution scaled
-    to ``img_size`` (H, W)."""
+    to ``img_size`` (H, W).
+
+    ``window``: optional normalized crop window ``[cx, cy, s]`` (square in
+    normalized units — the sensor's pixel aspect) rendered to ``img_size``
+    instead of the full frame, i.e. an ideal sensor crop for the two-stage
+    crop-refine pipeline (codec/crop.py).  Callers should keep
+    ``s >= codec.crop.MIN_BOX_SIZE`` so the render never samples finer than
+    the 1920-px sensor.
+    """
     import cv2
 
     h, w = img_size
-    sx, sy = w / camera.nu, h / camera.nv
     uv = _project_np(q, pos, camera)
-    uv = np.stack([uv[:, 0] * sx, uv[:, 1] * sy], -1)
+    if window is not None:
+        cx, cy, s = float(window[0]), float(window[1]), float(window[2])
+        un = uv[:, 0] / camera.nu
+        vn = uv[:, 1] / camera.nv
+        uv = np.stack([(un - (cx - s / 2)) / s * w, (vn - (cy - s / 2)) / s * h], -1)
+        sx, sy = w / (camera.nu * s), h / (camera.nv * s)
+    else:
+        sx, sy = w / camera.nu, h / camera.nv
+        uv = np.stack([uv[:, 0] * sx, uv[:, 1] * sy], -1)
 
     img = np.zeros((h, w, 3), np.uint8)
     depth = float(pos[2])
@@ -156,6 +172,74 @@ def create_synthetic_dataset(
         with open(os.path.join(still, split, "pose.json"), "w") as f:
             json.dump(labels, f)
     return still
+
+
+def create_crop_dataset(
+    still_root: str,
+    out_root: Optional[str] = None,
+    img_size: Tuple[int, int] = (240, 384),
+    margin: float = 1.25,
+    jitter_scale: Tuple[float, float] = (1.05, 1.5),
+    jitter_center: float = 0.08,
+    min_size: float = 0.2,
+    seed: int = 1001,
+    camera: Camera = DSPEED_CAMERA,
+    splits: Tuple[str, ...] = ("train", "valid", "test"),
+) -> str:
+    """Derive a crop-refine training set from an existing still dataset.
+
+    Reads each split's ``pose.json`` under ``still_root`` (same poses, so
+    full-frame vs crop comparisons are apples-to-apples) and renders the
+    ground-truth-box crop window of every frame at ``img_size``, jittered on
+    the train split to simulate first-pass detector noise.  Labels carry the
+    window as ``crop: [cx, cy, s]`` (read by ``Manifest`` / mapped by the
+    trainer through ``codec.crop``).  ``min_size`` floors the window so
+    renders never sample finer than the physical sensor.
+    """
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    out_root = out_root or os.path.join(os.path.dirname(still_root.rstrip("/")), "crop")
+    for split in splits:
+        labels_path = os.path.join(still_root, split, "pose.json")
+        if not os.path.isfile(labels_path):
+            continue
+        with open(labels_path) as f:
+            labels = json.load(f)
+        img_dir = os.path.join(out_root, split, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        out_labels = []
+        for t in labels:
+            q = np.asarray(t["q"], np.float64)
+            pos = np.asarray(t["t"], np.float64)
+            uv = _project_np(q, pos, camera)
+            # Origin point included, matching the label layout (keypoints.py):
+            # the spacecraft-frame origin sits at `pos` in camera frame.
+            k = camera.K
+            u0 = k[0, 0] * pos[0] / pos[2] + k[0, 2]
+            v0 = k[1, 1] * pos[1] / pos[2] + k[1, 2]
+            un = np.concatenate([[u0], uv[:, 0]]) / camera.nu
+            vn = np.concatenate([[v0], uv[:, 1]]) / camera.nv
+            cx = (un.min() + un.max()) / 2
+            cy = (vn.min() + vn.max()) / 2
+            s = max(un.max() - un.min(), vn.max() - vn.min()) * margin
+            if split == "train":
+                s *= rng.uniform(*jitter_scale)
+                cx += rng.uniform(-jitter_center, jitter_center) * s
+                cy += rng.uniform(-jitter_center, jitter_center) * s
+            else:
+                s *= 1.2  # deterministic eval-style margin
+            s = float(np.clip(s, min_size, 1.0))
+            cx = float(np.clip(cx, s / 2, 1 - s / 2))
+            cy = float(np.clip(cy, s / 2, 1 - s / 2))
+            window = np.array([cx, cy, s], np.float32)
+            frame = render_frame(q, pos, camera, img_size, rng=rng, window=window)
+            cv2.imwrite(os.path.join(img_dir, t["filename"]), frame)
+            out_labels.append({"filename": t["filename"], "q": t["q"], "t": t["t"],
+                               "crop": window.tolist()})
+        with open(os.path.join(out_root, split, "pose.json"), "w") as f:
+            json.dump(out_labels, f)
+    return out_root
 
 
 def create_synthetic_video(

@@ -96,14 +96,22 @@ class Trainer:
         self._eval_step = jax.jit(self._build_eval_step())
 
     # ------------------------------------------------------------------
-    def _encode_targets(self, ori, pos):
+    def _encode_targets(self, ori, pos, crop=None):
+        """``crop``: optional per-sample ``[cx, cy, s]`` windows (crop-refine
+        datasets, codec/crop.py) — keypoint targets are expressed in
+        crop-local coordinates."""
         t = {"ori": ori, "pos": pos}
         if self.spe_utils.ori_mode == "classification":
             t["ori_soft"] = self.spe_utils.orientation.encode(ori)
         if self.spe_utils.pos_mode == "classification":
             t["pos_soft"] = self.spe_utils.position.encode(pos)
         if "keypoints" in (self.spe_utils.ori_mode, self.spe_utils.pos_mode):
-            t["keypoints"] = self.spe_utils.keypoints.create_keypoints2d(ori, pos)
+            kp = self.spe_utils.keypoints.create_keypoints2d(ori, pos)
+            if crop is not None:
+                from spef_tpu.codec.crop import map_keypoints_to_crop
+
+                kp = map_keypoints_to_crop(kp, crop)
+            t["keypoints"] = kp
         return t
 
     def _build_augment(self):
@@ -119,13 +127,13 @@ class Trainer:
     def _build_train_step(self):
         spe_utils, spe_loss = self.spe_utils, self.spe_loss
 
-        def step(state: TrainState, images, ori, pos, mask, rng):
+        def step(state: TrainState, images, ori, pos, mask, rng, crop=None):
             import optax
 
             if images.dtype == jnp.uint8:
                 images = images.astype(jnp.float32) / 255.0
             k_aug, k_drop = jax.random.split(rng)
-            targets = self._encode_targets(ori, pos)
+            targets = self._encode_targets(ori, pos, crop)
 
             def _loss(params):
                 variables = {"params": params, "batch_stats": state.batch_stats}
@@ -162,14 +170,22 @@ class Trainer:
     def _build_eval_step(self):
         spe_utils, spe_loss = self.spe_utils, self.spe_loss
 
-        def step(state: TrainState, images_u8, ori, pos, mask):
+        def step(state: TrainState, images_u8, ori, pos, mask, crop=None):
             images = images_u8.astype(jnp.float32) / 255.0
-            targets = self._encode_targets(ori, pos)
+            targets = self._encode_targets(ori, pos, crop)
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             pred = state.apply_fn(variables, images, False)
             pose = _apply_last_activation(spe_utils, pred)
             metrics = {"loss": spe_loss.compute_loss(pose, targets)}
-            metrics.update(_masked_metrics(spe_utils, pose, targets, mask))
+            pose_m = pose
+            if crop is not None and "keypoints" in pose:
+                # Loss compares in crop-local coords; pose metrics need the
+                # keypoints back in full-frame coords before the PnP decode.
+                from spef_tpu.codec.crop import map_keypoints_from_crop
+
+                pose_m = dict(pose)
+                pose_m["keypoints"] = map_keypoints_from_crop(pose["keypoints"], crop)
+            metrics.update(_masked_metrics(spe_utils, pose_m, targets, mask))
             return metrics
 
         return step
@@ -260,6 +276,12 @@ class Trainer:
 
                 for b_idx, batch in enumerate(data[phase]):
                     n_valid = int(batch["mask"].sum())
+                    crop = _put(batch["crop"]) if "crop" in batch else None
+                    if crop is not None and self.rot_augment:
+                        raise ValueError(
+                            "crop-refine batches are incompatible with the yaw "
+                            "rotation augment (the stored crop window cannot "
+                            "follow the warped pose); set ROT_AUGMENT: false")
                     if phase == "train":
                         rng, step_rng = jax.random.split(rng)
                         images = _put(batch["images"])
@@ -270,11 +292,12 @@ class Trainer:
                             images, ori, pos_t = self._augment(images, ori, pos_t, aug_rng)
                         state, metrics = self._train_step(
                             state, images, ori, pos_t, _put(batch["mask"]), step_rng,
+                            crop,
                         )
                     else:
                         metrics = self._eval_step(
                             state, _put(batch["images"]), _put(batch["ori"]),
-                            _put(batch["pos"]), _put(batch["mask"]),
+                            _put(batch["pos"]), _put(batch["mask"]), crop,
                         )
                     pending.append(
                         (b_idx, n_valid,
