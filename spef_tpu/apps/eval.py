@@ -41,6 +41,12 @@ def main(argv=None):
                              "this normalized margin of the frame border "
                              "(border-saturated = off-frame keypoint) in the "
                              "PnP solve; composes with --ransac")
+    parser.add_argument("--crop-refine", default=None, metavar="FINE_EXP",
+                        help="keypoints mode: evaluate the two-pass crop-"
+                             "refine engine — this experiment is the coarse "
+                             "full-frame pass, FINE_EXP the crop-trained "
+                             "fine pass (codec/crop.py); composes with "
+                             "--ransac")
     args = parser.parse_args(argv)
 
     set_seed(args.seed)
@@ -84,7 +90,23 @@ def main(argv=None):
         n_pos_bins=spe_utils.position.n_bins,
     )
 
-    engine = SPEJax(model, spe_utils)
+    if args.crop_refine:
+        from spef_tpu.engine import SPECropRefine
+
+        fine_cfg = load_config(os.path.join(args.crop_refine, "config.yaml"))
+        fine_model = import_model(
+            backbone_name=fine_cfg.MODEL.BACKBONE.NAME,
+            head_name=fine_cfg.MODEL.HEAD.NAME,
+            img_size=tuple(fine_cfg.DATA.IMG_SIZE),
+            params_path=os.path.join(args.crop_refine, "model", "parameters.msgpack"),
+            residual=fine_cfg.MODEL.BACKBONE.RESIDUAL,
+            quantization=fine_cfg.MODEL.QUANTIZATION,
+            ori_mode=fine_cfg.MODEL.HEAD.ORI,
+            pos_mode=fine_cfg.MODEL.HEAD.POS,
+        )
+        engine = SPECropRefine(model, fine_model, spe_utils)
+    else:
+        engine = SPEJax(model, spe_utils)
     rec_score, rec_error = evaluation(engine, data, spe_utils, split["eval"])
 
     for phase in split["eval"]:
@@ -98,6 +120,8 @@ def main(argv=None):
     name = "eval_score_error_ransac" if args.ransac else "eval_score_error"
     if args.border_gate is not None:
         name += "_gated"
+    if args.crop_refine:
+        name += "_croprefine"
     save_score_error(args.experiment, rec_score, rec_error, name=name)
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from spef_tpu.codec.facade import SPEUtils
 from spef_tpu.models.wrapper import SPEModel
 
-__all__ = ["SPEJax", "build_predict_fn"]
+__all__ = ["SPEJax", "SPECropRefine", "build_predict_fn"]
 
 
 def _raw_to_pose(spe_utils: SPEUtils, pred) -> Dict[str, jax.Array]:
@@ -141,6 +141,80 @@ class SPEJax:
         if forward_fn is not None:
             self._forward_fn = forward_fn
         self._predict = self._compile()
+
+
+class SPECropRefine:
+    """Two-pass crop-refine keypoints engine — same ``predict`` contract.
+
+    Fuses the full two-stage pipeline (coarse full-frame keypoints ->
+    robust crop box -> on-device matmul-form crop+resize -> fine pass ->
+    back-mapped keypoints -> PnP decode, :mod:`spef_tpu.codec.crop`) into
+    ONE jitted XLA program.  Deployment-wise this is the successor of the
+    reference's single-pass keypoints engine (`spe_torch.py:41-76` +
+    `keypoints_utils.py:112-174`): at SPEED geometry the crop multiplies
+    the fine regressor's effective resolution by the zoom factor, which is
+    the binding accuracy constraint (ACCURACY.md "Regressor noise vs PnP
+    sensitivity").  Serving/GUI/temporal consumers duck-type it like any
+    other engine.
+    """
+
+    def __init__(
+        self,
+        coarse: SPEModel,
+        fine: SPEModel,
+        spe_utils: SPEUtils,
+        crop_hw: Optional[Tuple[int, int]] = None,
+        margin: float = 1.25,
+        decode: bool = True,
+        mesh=None,
+    ):
+        assert spe_utils.ori_mode == "keypoints" and spe_utils.pos_mode == "keypoints", (
+            "crop-refine is a keypoints-mode pipeline")
+        from spef_tpu.codec.crop import CropRefinePipeline
+
+        self.coarse = coarse
+        self.fine = fine
+        self.spe_utils = spe_utils
+        self.mesh = mesh
+
+        coarse_vars, fine_vars = coarse.variables, fine.variables
+
+        def coarse_fn(images):
+            out = coarse.module.apply(coarse_vars, images, False)
+            return out[0] if isinstance(out, tuple) else out
+
+        def fine_fn(images):
+            out = fine.module.apply(fine_vars, images, False)
+            return out[0] if isinstance(out, tuple) else out
+
+        pipe = CropRefinePipeline(coarse_fn, fine_fn, margin=margin)
+
+        def predict(images):
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            if crop_hw is None:
+                pipe.crop_hw = images.shape[1:3]
+            pose = pipe(images)
+            if decode:
+                pose.update(spe_utils.keypoints.decode_batch(
+                    pose["keypoints"], ransac=spe_utils.keypoints_ransac,
+                    border_gate=spe_utils.keypoints_border_gate))
+            return pose
+
+        self._predict = jax.jit(predict)
+
+    def predict(self, images) -> Tuple[Dict[str, jax.Array], float]:
+        if self.mesh is not None:
+            from spef_tpu.parallel.mesh import shard_batch
+
+            images = shard_batch(self.mesh, jnp.asarray(images))
+        else:
+            images = jnp.asarray(images)
+        start = time.perf_counter()
+        pose = self._predict(images)
+        pose = jax.block_until_ready(pose)
+        latency_ms = (time.perf_counter() - start) * 1000.0
+        return pose, latency_ms
 
 
 # ---------------------------------------------------------------------------

@@ -234,6 +234,32 @@ class TestEncodeTargetsCrop:
             np.asarray(map_keypoints_to_crop(full, crop)), atol=1e-6)
 
 
+def test_crop_refine_engine_contract(still_dataset):
+    """SPECropRefine duck-types the standard engine contract: one jitted
+    two-pass program, pose dict with unit quaternions + finite positions."""
+    from spef_tpu.engine import SPECropRefine
+    from spef_tpu.models.wrapper import import_model
+
+    spe_utils = SPEUtils.create(
+        DSPEED_CAMERA, ori_mode="keypoints", pos_mode="keypoints",
+        keypoints_ransac=True)
+    kw = dict(backbone_name="small", head_name="keypoints_regression",
+              img_size=(48, 64), ori_mode="keypoints", pos_mode="keypoints",
+              n_keypoint_outputs=24)
+    coarse = import_model(seed=0, **kw)
+    fine = import_model(seed=1, **kw)
+    engine = SPECropRefine(coarse, fine, spe_utils)
+    data, _ = load_dataset(still_dataset, batch_size=4, img_size=(48, 64))
+    batch = next(iter(data["valid"]))
+    pose, latency_ms = engine.predict(batch["images"])
+    assert pose["ori"].shape == (4, 4) and pose["pos"].shape == (4, 3)
+    assert pose["crop_box"].shape == (4, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(pose["ori"]), axis=-1), 1.0, atol=1e-4)
+    assert np.isfinite(np.asarray(pose["pos"])).all()
+    assert latency_ms > 0
+
+
 def test_crop_cli_roundtrip(tmp_path):
     """The exact chip-queue pipeline for the crop-refine stage-2 model at toy
     scale: create_crop_dataset -> apps.train on a crop config ->
