@@ -51,6 +51,11 @@ def main(argv=None):
     parser.add_argument("--ransac", action="store_true",
                         help="keypoints mode: RANSAC PnP decode (robust to "
                              "gross keypoint outliers) instead of plain EPnP")
+    parser.add_argument("--crop-refine", default=None, metavar="FINE_EXP",
+                        help="keypoints mode: serve the fused two-pass "
+                             "crop-refine program (codec/crop.py) — the "
+                             "--experiment model is the coarse pass, "
+                             "FINE_EXP the crop-trained fine pass")
     parser.add_argument("--border-gate", type=float, default=None,
                         help="keypoints mode: zero-weight border-saturated "
                              "predictions in the PnP decode (off-frame gate)")
@@ -136,7 +141,42 @@ def main(argv=None):
         )
         print(f"Serving int8 graph ({args.int8_backend} backend)")
 
-    predict = build_predict_fn(model, spe_utils, forward_fn=forward_fn)
+    if args.crop_refine:
+        from spef_tpu.codec.crop import CropRefinePipeline
+
+        fine_cfg = load_config(os.path.join(args.crop_refine, "config.yaml"))
+        fine_model = import_model(
+            backbone_name=fine_cfg.MODEL.BACKBONE.NAME,
+            head_name=fine_cfg.MODEL.HEAD.NAME,
+            img_size=tuple(fine_cfg.DATA.IMG_SIZE),
+            params_path=os.path.join(args.crop_refine, "model", "parameters.msgpack"),
+            residual=fine_cfg.MODEL.BACKBONE.RESIDUAL,
+            quantization=fine_cfg.MODEL.QUANTIZATION,
+            ori_mode=fine_cfg.MODEL.HEAD.ORI,
+            pos_mode=fine_cfg.MODEL.HEAD.POS,
+        )
+
+        def _kp_fwd(m):
+            def fwd(images):
+                out = m.apply(images, False)
+                return out[0] if isinstance(out, tuple) else out
+            return fwd
+
+        pipe = CropRefinePipeline(_kp_fwd(model), _kp_fwd(fine_model),
+                                  crop_hw=img_size)
+
+        def predict(images):
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            pose = pipe(images)
+            pose.update(spe_utils.keypoints.decode_batch(
+                pose["keypoints"], ransac=args.ransac,
+                border_gate=args.border_gate))
+            return pose
+
+        print(f"Serving two-pass crop-refine pipeline (fine: {args.crop_refine})")
+    else:
+        predict = build_predict_fn(model, spe_utils, forward_fn=forward_fn)
     server = PoseServer(predict, img_shape=(*img_size, 3), max_batch=args.batch)
     print(f"Compiling serving program (batch window {args.batch})...")
     compile_s = server.warmup()
