@@ -295,6 +295,34 @@ def main(exp_dir, suite_dir, out_path=None):
             " (actual >> predicted).",
         ]
 
+    cr = _load(os.path.join(suite_dir, "crop_refine.json"))
+    if cr:
+        r = cr["results"]
+        lines += [
+            "", "### Two-stage crop-refine (beyond-parity deployment path)", "",
+            "Two-pass pipeline (`codec/crop.py`, engine `SPECropRefine`):",
+            "coarse full-frame keypoints -> robust crop box -> fine pass on",
+            f"the zoomed window -> PnP. Fine model: `{cr['fine_exp']}`;",
+            f"{cr['frames']} {cr['split']}-split frames",
+            "(`experiments/crop_refine_eval.py`). The oracle row uses the",
+            "ground-truth box (isolates detector-box error from fine-",
+            "regressor error).",
+            "",
+            "| pipeline | ESA (test) | ori (deg) | pos (m) | kp RMSE (px) |",
+            "|---|---|---|---|---|",
+        ]
+        for tag, kpk in (("coarse_epnp", "coarse"), ("coarse_ransac", "coarse"),
+                         ("two_pass_epnp", "two_pass"), ("two_pass_ransac", "two_pass"),
+                         ("oracle_epnp", "oracle"), ("oracle_ransac", "oracle")):
+            if tag not in r:
+                continue
+            row = r[tag]
+            px = r.get(f"kp_px_{kpk}", {})
+            lines.append(
+                f"| {tag.replace('_', ' ')} | {_fmt(row['esa_score'])} |"
+                f" {row['ori_error_deg']:.2f} | {row['pos_error_m']:.3f} |"
+                f" {px.get('rmse', float('nan')):.2f} |")
+
     fab = _load(os.path.join(suite_dir, "filter_ab.json"))
     if fab:
         lines += [
