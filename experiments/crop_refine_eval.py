@@ -187,6 +187,11 @@ def main(argv=None):
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
+    # Pointer file: marks the coarse experiment as crop-refine-capable so the
+    # GUI/engine registry offers the two-pass variant (engine.py::
+    # discover_engine_variants).
+    with open(os.path.join(args.coarse, "crop_refine.json"), "w") as f:
+        json.dump({"fine_exp": args.fine}, f)
     for tag in ("coarse_epnp", "coarse_ransac", "two_pass_epnp",
                 "two_pass_ransac", "oracle_epnp", "oracle_ransac"):
         r = results[tag]

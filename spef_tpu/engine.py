@@ -237,6 +237,19 @@ def discover_engine_variants(exp_dir: str):
         variants += ["weight-only", "int8-carry"]
     if os.path.isfile(os.path.join(exp_dir, "model.spef")):
         variants.append("exported")
+    # A `crop_refine.json` pointer ({"fine_exp": <dir>}) marks the two-pass
+    # pipeline: this experiment is the coarse pass, fine_exp the crop model.
+    ptr = os.path.join(exp_dir, "crop_refine.json")
+    if os.path.isfile(ptr):
+        import json
+
+        try:
+            with open(ptr) as f:
+                fine = json.load(f).get("fine_exp", "")
+            if os.path.isfile(os.path.join(fine, "model", "parameters.msgpack")):
+                variants.append("crop-refine")
+        except (OSError, ValueError):
+            pass
     return variants
 
 
@@ -254,6 +267,26 @@ def build_engine_variant(exp_dir: str, model: SPEModel, spe_utils: SPEUtils,
         from spef_tpu.deploy import load_exported
 
         return load_exported(os.path.join(exp_dir, "model.spef"))
+    if variant == "crop-refine":
+        import json
+
+        from spef_tpu.config.train_config import load_config
+        from spef_tpu.models.wrapper import import_model
+
+        with open(os.path.join(exp_dir, "crop_refine.json")) as f:
+            fine_exp = json.load(f)["fine_exp"]
+        fine_cfg = load_config(os.path.join(fine_exp, "config.yaml"))
+        fine_model = import_model(
+            backbone_name=fine_cfg.MODEL.BACKBONE.NAME,
+            head_name=fine_cfg.MODEL.HEAD.NAME,
+            img_size=tuple(fine_cfg.DATA.IMG_SIZE),
+            params_path=os.path.join(fine_exp, "model", "parameters.msgpack"),
+            residual=fine_cfg.MODEL.BACKBONE.RESIDUAL,
+            quantization=fine_cfg.MODEL.QUANTIZATION,
+            ori_mode=fine_cfg.MODEL.HEAD.ORI,
+            pos_mode=fine_cfg.MODEL.HEAD.POS,
+        )
+        return SPECropRefine(model, fine_model, spe_utils, mesh=mesh)
     forward_fn = None
     if variant in ("weight-only", "int8-carry"):
         import pickle

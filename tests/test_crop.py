@@ -314,6 +314,27 @@ TRAIN:
         assert np.isfinite(rec["results"][tag]["esa_score"])
     assert rec["frames"] == 5
 
+    # The eval drops a pointer file that registers the two-pass variant in
+    # the engine registry (GUI dropdown parity, reference gui.py:470-474).
+    from spef_tpu.config.train_config import load_config
+    from spef_tpu.engine import build_engine_variant, discover_engine_variants
+    from spef_tpu.models.wrapper import import_model
+
+    coarse_dir = str(out / "exp_coarse_toy")
+    assert "crop-refine" in discover_engine_variants(coarse_dir)
+    cfg = load_config(os.path.join(coarse_dir, "config.yaml"))
+    spe_utils = SPEUtils.create(DSPEED_CAMERA, ori_mode="keypoints",
+                                pos_mode="keypoints")
+    model = import_model(
+        backbone_name=cfg.MODEL.BACKBONE.NAME, head_name=cfg.MODEL.HEAD.NAME,
+        img_size=tuple(cfg.DATA.IMG_SIZE),
+        params_path=os.path.join(coarse_dir, "model", "parameters.msgpack"),
+        residual=cfg.MODEL.BACKBONE.RESIDUAL, quantization=cfg.MODEL.QUANTIZATION,
+        ori_mode="keypoints", pos_mode="keypoints")
+    engine = build_engine_variant(coarse_dir, model, spe_utils, "crop-refine")
+    pose, _ = engine.predict(np.zeros((2, 48, 64, 3), np.uint8))
+    assert pose["ori"].shape == (2, 4) and pose["pos"].shape == (2, 3)
+
 
 class TestCropRefinePipeline:
     def test_two_pass_contract(self):
