@@ -196,7 +196,11 @@ def main():
         if key in results and not args.force:
             print(json.dumps({"pair": i, "skipped": "already measured"}),
                   flush=True)
-            tbl[key] = {**results[key], "batch": args.batch}
+            # Rehydrate with the batch the entry was MEASURED at (stored
+            # in the entry since r5); legacy entries without it get no
+            # batch stamp rather than the current --batch (ADVICE r4).
+            # 'pair' is a results-schema field, not a tuning-table one.
+            tbl[key] = {k: v for k, v in results[key].items() if k != "pair"}
             continue
         x = jnp.asarray(rng.randint(-8, 8, (args.batch, hh, ww, cin))
                         .astype(np.int8))
@@ -219,7 +223,8 @@ def main():
         trans = (t["fused->xla"] + t["xla->fused"]
                  - t["fused->fused"] - t["xla->xla"]) / 2.0
         results[key] = {"pair": i, "timings_ms": t,
-                        "transition_ms": round(trans, 4)}
+                        "transition_ms": round(trans, 4),
+                        "batch": args.batch}
         tbl[key] = {"transition_ms": round(trans, 4), "timings_ms": t,
                     "batch": args.batch}
         print(json.dumps({"pair": i, "transition_ms": round(trans, 4)}),

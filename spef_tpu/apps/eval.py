@@ -104,7 +104,10 @@ def main(argv=None):
             ori_mode=fine_cfg.MODEL.HEAD.ORI,
             pos_mode=fine_cfg.MODEL.HEAD.POS,
         )
-        engine = SPECropRefine(model, fine_model, spe_utils)
+        # Crops must be produced at the fine model's trained resolution,
+        # not the coarse input size (ADVICE r4).
+        engine = SPECropRefine(model, fine_model, spe_utils,
+                               crop_hw=tuple(fine_cfg.DATA.IMG_SIZE))
     else:
         engine = SPEJax(model, spe_utils)
     rec_score, rec_error = evaluation(engine, data, spe_utils, split["eval"])

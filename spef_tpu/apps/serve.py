@@ -162,8 +162,20 @@ def main(argv=None):
                 return out[0] if isinstance(out, tuple) else out
             return fwd
 
-        pipe = CropRefinePipeline(_kp_fwd(model), _kp_fwd(fine_model),
-                                  crop_hw=img_size)
+        # The int8 graph built for --int8-backend serves the COARSE pass
+        # (it was converted from the coarse experiment's weights); the fine
+        # crop model stays float.  Crops are produced at the fine model's
+        # trained resolution (ADVICE r4).
+        if forward_fn is not None:
+            _int8_fwd = forward_fn
+
+            def _coarse_fwd(images):
+                out = _int8_fwd(images)
+                return out[0] if isinstance(out, tuple) else out
+        else:
+            _coarse_fwd = _kp_fwd(model)
+        pipe = CropRefinePipeline(_coarse_fwd, _kp_fwd(fine_model),
+                                  crop_hw=tuple(fine_cfg.DATA.IMG_SIZE))
 
         def predict(images):
             if images.dtype == jnp.uint8:

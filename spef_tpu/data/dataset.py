@@ -132,6 +132,17 @@ class BatchLoader:
         self.drop_remainder = drop_remainder
         self.rot_augment = rot_augment
         self._epoch = 0
+        if (rot_augment is not None and manifest.records
+                and manifest.records[0].crop is not None):
+            # Host-side yaw warp moves the target in-frame but the stored
+            # crop window cannot follow the warped pose, so the keypoint
+            # targets would be encoded into a stale window — the same
+            # silent label corruption the trainer guards against on the
+            # device-augment path (ADVICE r4).
+            raise ValueError(
+                "crop-refine manifests (records carry a crop window) are "
+                "incompatible with host-side rotation augmentation; set "
+                "DATA.ROT_AUGMENT: false for crop-mode training")
 
     def __len__(self) -> int:
         n = len(self.manifest)

@@ -286,7 +286,8 @@ def build_engine_variant(exp_dir: str, model: SPEModel, spe_utils: SPEUtils,
             ori_mode=fine_cfg.MODEL.HEAD.ORI,
             pos_mode=fine_cfg.MODEL.HEAD.POS,
         )
-        return SPECropRefine(model, fine_model, spe_utils, mesh=mesh)
+        return SPECropRefine(model, fine_model, spe_utils,
+                             crop_hw=tuple(fine_cfg.DATA.IMG_SIZE), mesh=mesh)
     forward_fn = None
     if variant in ("weight-only", "int8-carry"):
         import pickle
