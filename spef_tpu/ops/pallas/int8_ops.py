@@ -46,27 +46,41 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _dot_exact(x_ref, w_ref):
+def _dot_exact(x_ref, w_ref, in_unsigned=False):
     """Integer matmul on the MXU via bf16: int8 values (|v| <= 255) are
     exactly representable in bf16 and products accumulate in f32, so this is
     bit-exact integer arithmetic — and ~2x faster than Mosaic's int8 dot
-    lowering on v5e (measured)."""
-    return jnp.dot(x_ref[:].astype(jnp.bfloat16), w_ref[:].astype(jnp.bfloat16),
+    lowering on v5e (measured).
+
+    ``in_unsigned``: x carries uint8 BITS in int8 lanes (unsigned grid with
+    qmax 255 — the bits-carry convention, see int8_pallas._bits_int8);
+    decode to the true q on the VPU before the dot (0..255 exact in bf16).
+    """
+    x = x_ref[:].astype(jnp.float32)
+    if in_unsigned:
+        x = x + 256.0 * (x < 0)
+    return jnp.dot(x.astype(jnp.bfloat16), w_ref[:].astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)
 
 
+def _encode_bits(q):
+    """Unsigned q in [0, 255] (f32) -> uint8 bits in an int8 container
+    (in-kernel counterpart of int8_pallas._bits_int8; exact)."""
+    return (q - 256.0 * (q > 127.0)).astype(jnp.int8)
+
+
 def _mm_kernel(x_ref, w_ref, mult_ref, bias_ref, out_ref, *, relu, out_inv_step,
-               out_qmax, out_qmin):
-    acc = _dot_exact(x_ref, w_ref)
+               out_qmax, out_qmin, in_unsigned, out_bits):
+    acc = _dot_exact(x_ref, w_ref, in_unsigned)
     y = acc * mult_ref[:] + bias_ref[:]
     if relu:
         y = jnp.maximum(y, 0.0)
     q = jnp.clip(jnp.round(y * out_inv_step), out_qmin, out_qmax)
-    out_ref[:] = q.astype(jnp.int8)
+    out_ref[:] = _encode_bits(q) if out_bits else q.astype(jnp.int8)
 
 
 def _mm_res_kernel(x_ref, w_ref, mult_ref, bias_ref, res_ref, out_ref, *, out_inv_step,
-                   out_qmax, out_qmin, res_ratio, res_qmax, res_qmin):
+                   out_qmax, out_qmin, res_ratio, res_qmax, res_qmin, in_unsigned):
     """Projection + shared-grid requant + residual add + consumer requant.
 
     Both the projection requant and the residual are int8 on the SHARED
@@ -74,16 +88,21 @@ def _mm_res_kernel(x_ref, w_ref, mult_ref, bias_ref, res_ref, out_ref, *, out_in
     8) — the sum is kept exact in f32 and requantized straight to the
     consumer grid (``res_ratio = shared_step / consumer_step``), matching
     the int8_carry/int8_fused executors.  Never clamp the sum to int8:
-    that saturates for shared widths > 6 (ADVICE r2)."""
-    acc = _dot_exact(x_ref, w_ref)
+    that saturates for shared widths > 6 (ADVICE r2).
+
+    The hidden input may be a bits-carry (``in_unsigned``: wide dw act
+    grid, w8a8 family); the RESIDUAL is always signed int8 (shared grids
+    are signed by construction) and the emit grid is a signed consumer
+    grid, so neither needs bits handling."""
+    acc = _dot_exact(x_ref, w_ref, in_unsigned)
     y = acc * mult_ref[:] + bias_ref[:]
     q = jnp.clip(jnp.round(y * out_inv_step), out_qmin, out_qmax)
     s = q + res_ref[:].astype(jnp.float32)
     out_ref[:] = jnp.clip(jnp.round(s * res_ratio), res_qmin, res_qmax).astype(jnp.int8)
 
 
-def _mm_f32out_kernel(x_ref, w_ref, mult_ref, bias_ref, out_ref, *, relu):
-    acc = _dot_exact(x_ref, w_ref)
+def _mm_f32out_kernel(x_ref, w_ref, mult_ref, bias_ref, out_ref, *, relu, in_unsigned):
+    acc = _dot_exact(x_ref, w_ref, in_unsigned)
     y = acc * mult_ref[:] + bias_ref[:]
     if relu:
         y = jnp.maximum(y, 0.0)
@@ -93,7 +112,7 @@ def _mm_f32out_kernel(x_ref, w_ref, mult_ref, bias_ref, out_ref, *, relu):
 @functools.partial(
     jax.jit,
     static_argnames=("relu", "out_inv_step", "out_qmax", "out_qmin", "block_m", "block_n",
-                     "res_ratio", "res_qmax", "res_qmin"),
+                     "res_ratio", "res_qmax", "res_qmin", "in_unsigned", "out_bits"),
 )
 def int8_matmul_requant(
     x: jax.Array,  # (M, K) int8
@@ -110,6 +129,8 @@ def int8_matmul_requant(
     res_ratio: float = 1.0,   # shared_step / consumer_step for the residual sum
     res_qmax: float = 127.0,  # consumer grid bounds for the requantized sum
     res_qmin: float = -128.0,
+    in_unsigned: bool = False,  # x is a uint8 bits-carry (unsigned 8-bit grid)
+    out_bits: bool = False,     # emit uint8 bits (unsigned 8-bit out grid)
 ):
     m, k = x.shape
     _, n = w.shape
@@ -131,19 +152,21 @@ def int8_matmul_requant(
     )
 
     if out_inv_step is None:
-        kernel = functools.partial(_mm_f32out_kernel, relu=relu)
+        kernel = functools.partial(_mm_f32out_kernel, relu=relu, in_unsigned=in_unsigned)
         out_dtype = jnp.float32
     elif residual is not None:
         kernel = functools.partial(
             _mm_res_kernel, out_inv_step=out_inv_step, out_qmax=out_qmax, out_qmin=out_qmin,
             res_ratio=res_ratio, res_qmax=res_qmax, res_qmin=res_qmin,
+            in_unsigned=in_unsigned,
         )
         in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM))
         out_dtype = jnp.int8
     else:
         kernel = functools.partial(
             _mm_kernel, relu=relu, out_inv_step=out_inv_step,
-            out_qmax=out_qmax, out_qmin=out_qmin,
+            out_qmax=out_qmax, out_qmin=out_qmin, in_unsigned=in_unsigned,
+            out_bits=out_bits,
         )
         out_dtype = jnp.int8
 
@@ -176,7 +199,8 @@ def int8_matmul_requant(
 
 
 def _dw_kernel(x_hbm, w_ref, mult_ref, bias_ref, out_ref, scratch, sem, *, stride,
-               in_step, out_inv_step, out_qmax, tile_oh, wd_pad, bc):
+               in_step, out_inv_step, out_qmax, tile_oh, wd_pad, bc,
+               in_unsigned, out_bits):
     """One (batch, out-row-tile, channel-tile) program.
 
     The input lives in HBM (already spatially padded); the overlapping
@@ -210,15 +234,20 @@ def _dw_kernel(x_hbm, w_ref, mult_ref, bias_ref, out_ref, scratch, sem, *, strid
                 (dy + (tile_oh - 1) * stride + 1, dx + (wo - 1) * stride + 1, bc),
                 (stride, stride, 1),
             ).astype(jnp.float32)
+            if in_unsigned:
+                # uint8 bits carry (wide expand act grid, w8a8 family):
+                # decode to the true q — halo/padding zeros decode to 0.
+                tap = tap + 256.0 * (tap < 0)
             acc = acc + tap * w_ref[dy, dx].astype(jnp.float32)
     y = acc * (in_step * mult_ref[0]) + bias_ref[0]
     y = jnp.maximum(y, 0.0)
     q = jnp.clip(jnp.round(y * out_inv_step), 0.0, out_qmax)
-    out_ref[0] = q.astype(jnp.int8)
+    out_ref[0] = _encode_bits(q) if out_bits else q.astype(jnp.int8)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stride", "in_step", "out_inv_step", "out_qmax", "block_c")
+    jax.jit, static_argnames=("stride", "in_step", "out_inv_step", "out_qmax", "block_c",
+                              "in_unsigned", "out_bits")
 )
 def int8_depthwise3x3(
     x: jax.Array,  # (B, H, W, C) int8
@@ -230,6 +259,8 @@ def int8_depthwise3x3(
     out_inv_step: float = 1.0,
     out_qmax: float = 127.0,
     block_c: int = 0,  # 0 -> auto (<=128, padded)
+    in_unsigned: bool = False,  # x is a uint8 bits-carry (unsigned 8-bit grid)
+    out_bits: bool = False,     # emit uint8 bits (unsigned 8-bit out grid)
 ):
     b, h, wd, c = x.shape
     ho = (h - 1) // stride + 1
@@ -264,6 +295,7 @@ def int8_depthwise3x3(
     kernel = functools.partial(
         _dw_kernel, stride=stride, in_step=in_step, out_inv_step=out_inv_step,
         out_qmax=out_qmax, tile_oh=tile_oh, wd_pad=wd + 2, bc=bc,
+        in_unsigned=in_unsigned, out_bits=out_bits,
     )
     out = pl.pallas_call(
         kernel,
@@ -307,6 +339,7 @@ def xla_matmul_requant(
     res_qmax: float = 127.0,
     res_qmin: float = -128.0,
     in_unsigned: bool = False,
+    out_bits: bool = False,
     **_: object,
 ):
     if in_unsigned:
@@ -328,6 +361,8 @@ def xla_matmul_requant(
         # (never clamp to int8: saturates for shared widths > 6).
         s = q + residual.astype(jnp.float32)
         q = jnp.clip(jnp.round(s * res_ratio), res_qmin, res_qmax)
+    if out_bits:  # unsigned 8-bit out grid -> uint8 bits carry
+        q = q - 256.0 * (q > 127.0)
     return q.astype(jnp.int8)
 
 
@@ -341,6 +376,7 @@ def xla_depthwise3x3(
     out_inv_step: float = 1.0,
     out_qmax: float = 127.0,
     in_unsigned: bool = False,
+    out_bits: bool = False,
     **_: object,
 ):
     c = x.shape[-1]
@@ -359,4 +395,7 @@ def xla_depthwise3x3(
     y = jnp.maximum(y * (mult * in_step) + bias, 0.0)
     if out_inv_step is None:  # boundary-only recipe: no dw act grid
         return y.astype(jnp.bfloat16)
-    return jnp.clip(jnp.round(y * out_inv_step), 0.0, out_qmax).astype(jnp.int8)
+    q = jnp.clip(jnp.round(y * out_inv_step), 0.0, out_qmax)
+    if out_bits:  # unsigned 8-bit out grid -> uint8 bits carry
+        q = q - 256.0 * (q > 127.0)
+    return q.astype(jnp.int8)

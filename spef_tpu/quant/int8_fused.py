@@ -176,12 +176,21 @@ def _xla_block(y, blk, step, out_grid, in_unsigned=False):
     residual = y
     h, hstep = y, step
     float_handoff = False
+    def _grid_snap(yf, step, qmax):
+        # Snap to the act grid; a wide unsigned grid (qmax 255, w8a8
+        # family) does not fit int8 — carry int16 (this fallback stays
+        # inside one fused XLA program, so the wider dtype costs nothing
+        # materialized; the q values 0..255 are exact in the bf16 conv
+        # operand downstream).
+        q = jnp.clip(jnp.round(yf / step), 0, qmax)
+        return q.astype(jnp.int16 if qmax > 127.0 else jnp.int8)
+
     if "expand" in blk:
         e = blk["expand"]
         acc = _conv_acc(h, e["w_int"], 1, 1)
         yf = jnp.maximum(acc * (e["mult_core"] * hstep) + e["bias"], 0.0)
         if "act_step" in e:
-            h = _requant_int8(yf, e["act_step"], e["act_qmax"])
+            h = _grid_snap(yf, e["act_step"], e["act_qmax"])
             hstep = e["act_step"]
         else:
             h, hstep, float_handoff = yf.astype(jnp.bfloat16), None, True
@@ -190,7 +199,7 @@ def _xla_block(y, blk, step, out_grid, in_unsigned=False):
     mult = d["mult_core"] * (1.0 if float_handoff else hstep)
     yf = jnp.maximum(acc * mult + d["bias"], 0.0)
     if "act_step" in d:
-        h, dstep = _requant_int8(yf, d["act_step"], d["act_qmax"]), d["act_step"]
+        h, dstep = _grid_snap(yf, d["act_step"], d["act_qmax"]), d["act_step"]
     else:  # boundary-only recipe: real values into the projection
         h, dstep = yf.astype(jnp.bfloat16), 1.0
     p = blk["project"]
@@ -242,9 +251,6 @@ def build_fused_forward(graph: Dict[str, Any], interpret: bool = False,
     benchmarks/tune_fused.py's graph-level arbitration); default is
     :func:`plan_backends` at trace time.
     """
-    from spef_tpu.quant.int8_pallas import assert_int8_grids
-
-    assert_int8_grids(graph, "build_fused_forward")
     blocks = graph["blocks"]
     forced_plan = plan
 

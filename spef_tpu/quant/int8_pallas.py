@@ -41,32 +41,6 @@ def _grid_params(step: float, qmax: float, signed: bool):
     return {"step": step, "qmax": qmax, "qmin": -qmax - 1 if signed else 0.0}
 
 
-def assert_int8_grids(graph: Dict[str, Any], executor: str) -> None:
-    """Refuse INTERIOR unsigned activation grids that do not fit int8.
-
-    The kernel executors carry block-interior activations as int8; an
-    unsigned 8-bit grid (qmax=255, e.g. the w8a8 recipe) would WRAP
-    128..255 to negatives and silently corrupt the network.  `int8_carry`
-    handles these grids with a zero-point shift; the kernels do not (yet)
-    — fail loudly instead of skewing accuracy (same policy as the r2
-    residual-saturation fix).  The stem and head_conv grids are exempt
-    (boundary recipe: 8-bit unsigned edges): the stem emits a uint8
-    bits-carry its consumers decode (``in_unsigned``), the head_conv
-    emits int16 straight into the f32 mean-pool.
-    """
-    offenders = []
-    for i, blk in enumerate(graph.get("blocks", ())):
-        for part in ("expand", "depthwise"):
-            entry = blk.get(part)
-            if entry is not None and entry.get("act_qmax", 0.0) > 127.0:
-                offenders.append(f"block_{i}/{part}")
-    if offenders:
-        raise NotImplementedError(
-            f"{executor}: unsigned act grids wider than int8 (qmax > 127) on "
-            f"{offenders}; use build_int8_carry_forward (zero-point carry) "
-            "or build_int8_forward (exact int32) for this recipe.")
-
-
 def _emit_unsigned(y: jax.Array, step: float, qmax: float) -> jax.Array:
     """Round/clip to an unsigned grid; int8 when it fits, else int16.
 
@@ -108,9 +82,15 @@ def build_pallas_forward(
     int8-carry pipeline through XLA integer dots/convs (identical numerics,
     one fused XLA program — much faster to compile, useful where compile
     latency matters and as the A/B baseline for the kernels).
+
+    Unsigned 8-bit activation grids (qmax 255 — the w8a8 recipe family, and
+    the boundary recipe's stem/head edges) travel as **uint8 bits in int8
+    containers** (``_bits_int8``): producers emit bits (``out_bits``) and
+    consumers decode in-kernel (``in_unsigned``).  Bits-carry zeros are
+    real zeros, so depthwise halo padding needs no zero-point bookkeeping
+    — unlike int8_carry's zp-shift formulation of the same identity.
     """
     assert backend in ("pallas", "xla")
-    assert_int8_grids(graph, f"build_pallas_forward[{backend}]")
     mm = int8_matmul_requant if backend == "pallas" else xla_matmul_requant
     dw = int8_depthwise3x3 if backend == "pallas" else xla_depthwise3x3
     blocks = graph["blocks"]
@@ -173,16 +153,19 @@ def build_pallas_forward(
             res_step = step
             hcur = y
             hstep = step
+            # `hwide` tracks whether the CURRENT hidden tensor is a uint8
+            # bits-carry (unsigned 8-bit grid): the block input inherits the
+            # stem edge's wideness, and each interior producer with a wide
+            # act grid (w8a8 family) re-sets it for its consumer.
+            hwide = wide
 
             float_handoff = False
             if "expand" in blk:
                 e = blk["expand"]
                 m = b * h * w
                 has_grid = "act_step" in e
-                # A bits-carry (unsigned wide) input takes the XLA op, which
-                # decodes it; the Pallas kernel assumes true-q int8.
-                mm_e = xla_matmul_requant if wide else mm
-                out = mm_e(
+                e_wide = has_grid and e["act_qmax"] > 127.0
+                out = mm(
                     hcur.reshape(m, c),
                     e["w_int"].reshape(e["w_int"].shape[-2], e["w_int"].shape[-1]),
                     e["mult_core"] * hstep, e["bias"],
@@ -190,9 +173,10 @@ def build_pallas_forward(
                     out_inv_step=float(1.0 / e["act_step"]) if has_grid else None,
                     out_qmax=float(e["act_qmax"]) if has_grid else 127.0,
                     out_qmin=0.0,
-                    **({"in_unsigned": True} if wide else {}),
+                    in_unsigned=hwide, out_bits=e_wide,
                 )
-                wide = False  # interior grids are int8-safe (asserted)
+                wide = False  # the stem-edge carry was consumed here
+                hwide = e_wide
                 hidden = e["w_int"].shape[-1]
                 hcur = out.reshape(b, h, w, hidden)
                 if has_grid:
@@ -209,25 +193,27 @@ def build_pallas_forward(
             # (4 of 17) take the XLA depthwise path even on backend='pallas';
             # float-input depthwise likewise.
             dw_grid = "act_step" in d
+            d_wide = dw_grid and d["act_qmax"] > 127.0
             dw_inv = float(1.0 / d["act_step"]) if dw_grid else None
             dw_qmax = float(d["act_qmax"]) if dw_grid else 127.0
             dw_fn = dw if (d["stride"] == 1 and not float_handoff and dw_grid
-                           and not wide) else xla_depthwise3x3
+                           ) else xla_depthwise3x3
             if float_handoff:
                 # xla_depthwise3x3 accepts float input transparently.
                 hcur = xla_depthwise3x3(
                     hcur, d["w_int"].reshape(3, 3, hc), d["mult_core"], d["bias"],
                     stride=d["stride"], in_step=1.0,
-                    out_inv_step=dw_inv, out_qmax=dw_qmax,
+                    out_inv_step=dw_inv, out_qmax=dw_qmax, out_bits=d_wide,
                 )
             else:
                 hcur = dw_fn(
                     hcur, d["w_int"].reshape(3, 3, hc), d["mult_core"], d["bias"],
                     stride=d["stride"], in_step=float(hstep),
                     out_inv_step=dw_inv, out_qmax=dw_qmax,
-                    **({"in_unsigned": True} if wide else {}),
+                    in_unsigned=hwide, out_bits=d_wide,
                 )
                 wide = False
+            hwide = d_wide
             # Boundary-only recipe (no dw act grid): real values flow into
             # the projection, whose multiplier is then unscaled.
             hstep = d["act_step"] if dw_grid else 1.0
@@ -259,7 +245,7 @@ def build_pallas_forward(
                     out_qmax=float(blk["shared_qmax"]),
                     out_qmin=float(-blk["shared_qmax"] - 1),
                     res_ratio=float(ratio), res_qmax=float(rqmax),
-                    res_qmin=float(rqmin),
+                    res_qmin=float(rqmin), in_unsigned=hwide,
                 )
                 y = ssum.reshape(hb, hh, hw, cout)
                 step = rq
@@ -271,6 +257,7 @@ def build_pallas_forward(
                     p["mult_core"] * hstep, p["bias"],
                     relu=False, out_inv_step=float(1.0 / out_grid["step"]),
                     out_qmax=float(out_grid["qmax"]), out_qmin=float(out_grid["qmin"]),
+                    in_unsigned=hwide,
                 )
                 y = out.reshape(hb, hh, hw, cout)
                 step = out_grid["step"]

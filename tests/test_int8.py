@@ -162,15 +162,34 @@ class TestW8A8ZeroPoint:
             m = compare_tensors(r, c)
             assert m["cosine"] > 0.9999, m
 
-    def test_kernel_executors_refuse_wide_unsigned_grids(self, w8a8_model):
+    def test_kernel_executors_match_reference_on_wide_grids(self, w8a8_model):
+        """Every kernel executor covers the w8a8 family (interior unsigned
+        8-bit grids): producers emit uint8 bits-carries, consumers decode
+        in-kernel (r5; previously these raised NotImplementedError and the
+        recipe routed to carry/int8_model only)."""
+        from jax.experimental.pallas import tpu as pltpu
+
         from spef_tpu.quant.int8_fused import build_fused_forward
         from spef_tpu.quant.int8_pallas import build_pallas_forward
 
         graph = convert_qat_params(w8a8_model)
-        with pytest.raises(NotImplementedError, match="qmax > 127"):
-            build_pallas_forward(graph)
-        with pytest.raises(NotImplementedError, match="qmax > 127"):
-            build_fused_forward(graph)
+        # The fixture's grids genuinely exercise the wide regime.
+        assert any(
+            blk.get(part, {}).get("act_qmax", 0.0) > 127.0
+            for blk in graph["blocks"] for part in ("expand", "depthwise"))
+        images = _rand_images((4, 48, 64, 3), seed=11)
+        ref_out = jax.jit(build_int8_forward(graph))(images)
+        outs = {"xla": build_pallas_forward(graph, backend="xla")(images),
+                "fused": build_fused_forward(graph, interpret=True)(images)}
+        with pltpu.force_tpu_interpret_mode():
+            outs["pallas"] = build_pallas_forward(graph, backend="pallas")(images)
+        for name, out in outs.items():
+            for k, (r, o) in enumerate(zip(ref_out, out)):
+                m = compare_tensors(r, o)
+                assert m["cosine"] > 0.999, (name, k, m)
+                np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                           rtol=5e-3, atol=5e-3,
+                                           err_msg=f"{name}[{k}]")
 
 
 class TestWeightOnly:

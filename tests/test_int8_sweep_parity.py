@@ -85,9 +85,9 @@ def test_executors_agree_across_sweep_families(family):
 
 
 def _fused_family(name):
-    """Like _family but on an a4 base: the fused Pallas executor refuses
-    unsigned act grids wider than int8 (qmax > 127, see int8_pallas.py
-    assert_int8_grids) — w8a8 recipes route to carry/int8_model instead."""
+    """Like _family but defaulting to an a4 base; 'w8a8' exercises the wide
+    unsigned interior grids (qmax 255) the kernel executors carry as uint8
+    bits since r5 (previously refused and routed to carry/int8_model)."""
     bw = default_bit_width(n_blocks=2, w=8, a=4, shared=4)
     bw["inverted_residual"] = [[(8, 4), (8, 4), (8,)] for _ in range(2)]
     if name == "dw_w1":
@@ -96,10 +96,13 @@ def _fused_family(name):
         bw["inverted_residual"] = [[(8, 3), (8, 4), (8,)] for _ in range(2)]
     elif name == "one_block_mixed":
         bw["inverted_residual"] = [[(8, 3), (1, 4), (2,)], [(8, 4), (8, 4), (8,)]]
+    elif name == "w8a8":
+        bw = default_bit_width(n_blocks=2, w=8, a=8, shared=8)
+        bw["inverted_residual"] = [[(8, 8), (8, 8), (8,)] for _ in range(2)]
     return bw
 
 
-@pytest.mark.parametrize("family", ["dw_w1", "expand_a3", "one_block_mixed"])
+@pytest.mark.parametrize("family", ["dw_w1", "expand_a3", "one_block_mixed", "w8a8"])
 def test_fused_executor_agrees_on_special_families(family):
     """The fused-block Pallas pipeline (interpret mode) must match the
     readable int8 executor on the sweep's special low-bit families too —
