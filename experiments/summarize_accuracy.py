@@ -50,6 +50,14 @@ def main(exp_dir, suite_dir, out_path=None):
         "ESA score = ori_score + pos_score (lower is better), the metric of",
         "`src/spe/utils.py::score` in the reference.",
         "",
+        "> **Scope caveat:** every number below is on self-rendered synthetic",
+        "> D-SPEED (zero-egress environment — no real SPEED photographs, no",
+        "> pretrained weights). Relative deltas (int8 vs float, filter gains,",
+        "> bit-width sensitivity) are the transferable findings; absolute parity",
+        "> with the reference's real-SPEED scores is pending data availability",
+        "> (ingestion mechanisms ready: `models/pretrained.py`,",
+        "> `data/speed_split/`, reference-schema importers).",
+        "",
         "## Quantization ladder (per-stage test-set ESA)",
         "",
         "Stages mirror the reference's deploy ladders (`build_tvm.py:218-231`):",
@@ -351,6 +359,14 @@ def main(exp_dir, suite_dir, out_path=None):
                   f"Best holdout filter: **{best}** "
                   f"(params: `{json.dumps(fab['results'][best]['params'])}`).)"
                   .replace(").)", ")."),
+                  "",
+                  "The adaptive PDF filter's margin over the 2-parameter EMA is",
+                  "**zero on this domain** (holdout above) — the honest A/B",
+                  "result. The temporal defaults nonetheless stay on the PDF",
+                  "filter **deliberately**, for behavioral parity with the",
+                  "reference's published method (`src/temporal/inference.py`);",
+                  "deployments preferring the simpler filter can select `ema`",
+                  "via `temporal/filters.py` with the fitted parameters above.",
                   ]
 
     sweep = _load(os.path.join(os.path.dirname(suite_dir.rstrip("/")),
