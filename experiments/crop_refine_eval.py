@@ -63,6 +63,11 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache: reruns skip the slow remote compiles
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    except Exception:
+        pass
+
     from spef_tpu.codec.crop import crop_box_from_keypoints, map_keypoints_from_crop
     from spef_tpu.codec.facade import SPEUtils
     from spef_tpu.data.camera import load_camera
@@ -78,11 +83,25 @@ def main(argv=None):
     ap.add_argument("--limit", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--margin", type=float, default=1.25)
+    ap.add_argument("--weight-only", action="store_true",
+                    help="snap every conv/dense kernel of BOTH pass models "
+                         "to per-channel int8 grids (quant/weight_only.py) — "
+                         "the deployable weight-only ladder rung for the "
+                         "keypoints model family")
     ap.add_argument("--out", default="experiments/accuracy_suite/crop_refine.json")
     args = ap.parse_args(argv)
 
     cfg_c, model_c = load_experiment(args.coarse)
     cfg_f, model_f = load_experiment(args.fine)
+    if args.weight_only:
+        from spef_tpu.quant.weight_only import quantize_model_weights
+
+        for m in (model_c, model_f):
+            m.variables, stats = quantize_model_weights(m.variables, bits=8)
+            print(f"weight-only: {stats['n_quantized']} kernels "
+                  f"({stats['params_quantized']} params) on int8 grids")
+        if args.out == "experiments/accuracy_suite/crop_refine.json":
+            args.out = "experiments/accuracy_suite/crop_refine_w8.json"
     img_size = tuple(cfg_c.DATA.IMG_SIZE)
     camera = load_camera(args.data)
     spe = SPEUtils.create(camera, ori_mode="keypoints", pos_mode="keypoints")

@@ -208,3 +208,47 @@ class TestWeightOnly:
         m = compare_tensors(qat[0], out[0])
         assert m["cosine"] > 0.95, m
         assert np.isfinite(np.asarray(out[0])).all()
+
+    def test_generic_weight_only_keypoints_model(self):
+        """quant/weight_only.py: the schema-free weight-only quantizer covers
+        model families outside the int8-graph schema (here: the heatmap
+        keypoints head used by the crop-refine pipeline).  Kernels must land
+        exactly on per-channel int8 grids and the forward must stay close to
+        float."""
+        from spef_tpu.quant.parity import compare_tensors
+        from spef_tpu.quant.weight_only import quantize_model_weights
+
+        model = import_model(
+            backbone_name="small_mobile", head_name="keypoints_heatmap",
+            img_size=(48, 64), ori_mode="keypoints", pos_mode="keypoints",
+            quantization=False, seed=17,
+        )
+        images = _rand_images((2, 48, 64, 3), seed=19)
+        ref = model.apply(images.astype(jnp.float32) / 255.0, False)
+
+        new_vars, stats = quantize_model_weights(model.variables, bits=8)
+        assert stats["n_quantized"] >= 10  # backbone + head convs all hit
+        model.variables = new_vars
+        out = model.apply(images.astype(jnp.float32) / 255.0, False)
+
+        r = ref[0] if isinstance(ref, tuple) else ref
+        o = out[0] if isinstance(out, tuple) else out
+        m = compare_tensors(r, o)
+        assert m["cosine"] > 0.95, m
+        assert np.isfinite(np.asarray(o)).all()
+
+        # Spot-check grid membership: kernel / per-channel scale is integer.
+        def _first_kernel(tree):
+            for k, v in tree.items():
+                if k == "kernel" and getattr(v, "ndim", 0) >= 2:
+                    return v
+                if isinstance(v, dict):
+                    f = _first_kernel(v)
+                    if f is not None:
+                        return f
+            return None
+
+        w = np.asarray(_first_kernel(new_vars["params"]))
+        scale = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0) / 127.0
+        q = w / np.maximum(scale, 1e-12)
+        np.testing.assert_allclose(q, np.round(q), atol=1e-3)
