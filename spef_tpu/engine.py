@@ -247,7 +247,11 @@ def discover_engine_variants(exp_dir: str):
             with open(ptr) as f:
                 fine = json.load(f).get("fine_exp", "")
             if os.path.isfile(os.path.join(fine, "model", "parameters.msgpack")):
-                variants.append("crop-refine")
+                # Both two-pass variants: float, and weight-only int8 (both
+                # pass models' kernels snapped to per-channel int8 grids —
+                # quant/weight_only.py; the schema-free quantization mode
+                # for the keypoints model family).
+                variants += ["crop-refine", "crop-refine-w8"]
         except (OSError, ValueError):
             pass
     return variants
@@ -267,7 +271,7 @@ def build_engine_variant(exp_dir: str, model: SPEModel, spe_utils: SPEUtils,
         from spef_tpu.deploy import load_exported
 
         return load_exported(os.path.join(exp_dir, "model.spef"))
-    if variant == "crop-refine":
+    if variant in ("crop-refine", "crop-refine-w8"):
         import json
 
         from spef_tpu.config.train_config import load_config
@@ -286,6 +290,17 @@ def build_engine_variant(exp_dir: str, model: SPEModel, spe_utils: SPEUtils,
             ori_mode=fine_cfg.MODEL.HEAD.ORI,
             pos_mode=fine_cfg.MODEL.HEAD.POS,
         )
+        if variant == "crop-refine-w8":
+            import dataclasses
+
+            from spef_tpu.quant.weight_only import quantize_model_weights
+
+            # Copy the coarse model: the caller's float SPEModel (shared
+            # with the 'float' variant) must not be mutated.
+            model = dataclasses.replace(
+                model, variables=quantize_model_weights(model.variables, 8)[0])
+            fine_model.variables, _ = quantize_model_weights(
+                fine_model.variables, bits=8)
         return SPECropRefine(model, fine_model, spe_utils,
                              crop_hw=tuple(fine_cfg.DATA.IMG_SIZE), mesh=mesh)
     forward_fn = None

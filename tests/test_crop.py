@@ -335,6 +335,18 @@ TRAIN:
     pose, _ = engine.predict(np.zeros((2, 48, 64, 3), np.uint8))
     assert pose["ori"].shape == (2, 4) and pose["pos"].shape == (2, 3)
 
+    # Weight-only two-pass variant (both pass models' kernels on int8
+    # grids, quant/weight_only.py) — registered alongside and buildable
+    # without mutating the caller's float model.
+    assert "crop-refine-w8" in discover_engine_variants(coarse_dir)
+    float_params_before = jax.tree_util.tree_leaves(model.variables["params"])[0]
+    engine_w8 = build_engine_variant(coarse_dir, model, spe_utils, "crop-refine-w8")
+    pose_w8, _ = engine_w8.predict(np.zeros((2, 48, 64, 3), np.uint8))
+    assert pose_w8["ori"].shape == (2, 4)
+    np.testing.assert_array_equal(
+        np.asarray(float_params_before),
+        np.asarray(jax.tree_util.tree_leaves(model.variables["params"])[0]))
+
 
 class TestCropRefinePipeline:
     def test_two_pass_contract(self):
