@@ -159,6 +159,7 @@ def run_experiment(name: str, cfg, bit_width_path, out_root: str, seed: int = 10
     state, rec_loss, rec_score, rec_error = trainer.fit(
         state, data, epochs or cfg.TRAIN.N_EPOCH, scheduler, split["train"],
         writer=writer, checkpoint_manager=ckpt_mngr, resume=checkpoint,
+        best_metric=cfg.TRAIN.BEST_METRIC,
     )
     if writer is not None:
         writer.close()

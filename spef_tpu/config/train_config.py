@@ -60,6 +60,10 @@ def default_config() -> CfgNode:
     c.TRAIN.MILESTONES = (7, 20)
     c.TRAIN.GAMMA = 0.1
     c.TRAIN.CLIP_BATCHNORM = False
+    # Validation quantity best-model selection runs on: "loss" (reference
+    # parity) or "esa" (the deployment metric — use for keypoints runs,
+    # where the coordinate loss is a poor proxy for decoded pose score).
+    c.TRAIN.BEST_METRIC = "loss"
 
     return c
 

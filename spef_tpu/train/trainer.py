@@ -202,13 +202,23 @@ class Trainer:
         verbose: bool = True,
         checkpoint_manager=None,
         resume: bool = False,
+        best_metric: str = "loss",
     ):
         """Epoch x phase x batch loop (reference `training.py:86-197`).
 
         With ``checkpoint_manager`` the full state is saved every epoch;
         ``resume=True`` restarts from the latest checkpoint (a capability
         the reference lacks — it is save-only, SURVEY.md §5).
+
+        ``best_metric``: validation quantity the best model is selected on —
+        ``"loss"`` (reference parity, `training.py:173-190`) or ``"esa"``
+        (the deployment metric).  For keypoints-mode training the
+        coordinate loss is a poor proxy for the decoded pose score: the r4
+        crop-model run picked epoch 14 on a loss tie while valid ESA kept
+        improving through epoch 50 (0.2337 -> 0.1541, keypoints_crop.log)
+        — select on ESA for those runs.
         """
+        assert best_metric in ("loss", "esa"), best_metric
         assert "train" in split and "valid" in split
         if self.mesh is not None:
             n_dev = self.mesh.devices.size
@@ -326,15 +336,20 @@ class Trainer:
                 if phase == "train" and scheduler is not None:
                     new_lr = scheduler.step(epoch, running_loss)
                     state = state.replace(opt_state=set_learning_rate(state.opt_state, new_lr))
-                elif phase == "valid" and running_loss < best_loss:
-                    best_params = jax.tree_util.tree_map(np.asarray, (state.params, state.batch_stats))
-                    best_loss = running_loss
-                    best_epoch = epoch
-                    if checkpoint_manager is not None:
-                        checkpoint_manager.save_best(
-                            best_params[0], best_params[1],
-                            meta={"epoch": epoch, "valid_loss": running_loss},
-                        )
+                elif phase == "valid":
+                    sel = (running_loss if best_metric == "loss"
+                           else running.get("esa_score"))
+                    if sel < best_loss:
+                        best_params = jax.tree_util.tree_map(
+                            np.asarray, (state.params, state.batch_stats))
+                        best_loss = sel
+                        best_epoch = epoch
+                        if checkpoint_manager is not None:
+                            checkpoint_manager.save_best(
+                                best_params[0], best_params[1],
+                                meta={"epoch": epoch, "valid_loss": running_loss,
+                                      "best_metric": best_metric, "best_value": sel},
+                            )
 
                 if writer is not None:
                     for key in _METRIC_KEYS:

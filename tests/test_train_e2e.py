@@ -73,6 +73,36 @@ def test_train_reduces_loss_and_eval_runs(dataset, spe_utils):
     assert rec_error2["valid"]["ori_std"][0] >= 0
 
 
+def test_fit_best_metric_esa_selects_min_valid_esa(dataset, spe_utils):
+    """best_metric='esa' must pick the epoch with the lowest VALID ESA, not
+    the lowest valid loss (the r4 crop-model run lost 52% of accuracy to a
+    loss-tie pick at epoch 14/50 while ESA kept improving)."""
+    data, split = load_dataset(dataset, batch_size=6, img_size=(48, 64))
+    model = import_model(
+        backbone_name="small", head_name="ursonet", img_size=(48, 64),
+        ori_mode="classification", n_ori_bins=spe_utils.orientation.n_bins,
+        pos_mode="regression", seed=23,
+    )
+    tx, sched = import_optimizer(learning_rate=0.05, milestones=(50,))
+    state = create_train_state(model, tx)
+    loss = SPELoss("classification", "regression", beta=1.0, norm_distance=True)
+    trainer = Trainer(spe_utils, loss)
+
+    state, rec_loss, rec_score, _ = trainer.fit(
+        state, data, n_epochs=3, scheduler=sched, split=("train", "valid"),
+        verbose=False, best_metric="esa",
+    )
+    esas = rec_score["valid"]["esa"]
+    best = int(np.argmin(esas)) + 1
+    # The restored state must equal the best-ESA epoch's params: re-eval the
+    # returned state and check its valid ESA matches the recorded minimum.
+    model.variables = {"params": state.params, "batch_stats": state.batch_stats}
+    engine = SPEJax(model, spe_utils)
+    rec_score2, _ = evaluation(engine, data, spe_utils, split=("valid",))
+    assert rec_score2["valid"]["esa"][0] == pytest.approx(min(esas), abs=1e-4), \
+        (best, esas, rec_score2["valid"]["esa"])
+
+
 def test_cached_loader_matches_batch_loader(dataset):
     """CachedBatchLoader serves identical batches to BatchLoader (epoch 1
     decodes + caches; epoch 2 comes from RAM)."""
