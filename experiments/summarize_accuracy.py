@@ -303,33 +303,49 @@ def main(exp_dir, suite_dir, out_path=None):
             " (actual >> predicted).",
         ]
 
-    cr = _load(os.path.join(suite_dir, "crop_refine.json"))
-    if cr:
-        r = cr["results"]
+    cr_variants = [
+        (name, _load(os.path.join(suite_dir, fname))) for name, fname in (
+            ("", "crop_refine.json"),             # fine = best-on-loss (r4)
+            ("e50", "crop_refine_e50.json"),      # fine = epoch-50 (ESA-best)
+            ("w8", "crop_refine_w8.json"),        # weight-only int8 rung
+        )]
+    cr0 = next((doc for _, doc in cr_variants if doc), None)
+    if cr0:
         lines += [
             "", "### Two-stage crop-refine (beyond-parity deployment path)", "",
             "Two-pass pipeline (`codec/crop.py`, engine `SPECropRefine`):",
             "coarse full-frame keypoints -> robust crop box -> fine pass on",
-            f"the zoomed window -> PnP. Fine model: `{cr['fine_exp']}`;",
-            f"{cr['frames']} {cr['split']}-split frames",
-            "(`experiments/crop_refine_eval.py`). The oracle row uses the",
+            f"the zoomed window -> PnP. Coarse model: `{cr0['coarse_exp']}`;",
+            f"{cr0['frames']} {cr0['split']}-split frames",
+            "(`experiments/crop_refine_eval.py`). The oracle rows use the",
             "ground-truth box (isolates detector-box error from fine-",
-            "regressor error).",
+            "regressor error). Variants: plain = r4 best-on-valid-LOSS fine",
+            "model; `e50` = the epoch-50 checkpoint (valid-ESA-best — see",
+            "TRAIN.BEST_METRIC); `w8` = both pass models' kernels on",
+            "per-channel int8 grids (`quant/weight_only.py`).",
             "",
             "| pipeline | ESA (test) | ori (deg) | pos (m) | kp RMSE (px) |",
             "|---|---|---|---|---|",
         ]
-        for tag, kpk in (("coarse_epnp", "coarse"), ("coarse_ransac", "coarse"),
-                         ("two_pass_epnp", "two_pass"), ("two_pass_ransac", "two_pass"),
-                         ("oracle_epnp", "oracle"), ("oracle_ransac", "oracle")):
-            if tag not in r:
+        for vname, cr in cr_variants:
+            if not cr:
                 continue
-            row = r[tag]
-            px = r.get(f"kp_px_{kpk}", {})
-            lines.append(
-                f"| {tag.replace('_', ' ')} | {_fmt(row['esa_score'])} |"
-                f" {row['ori_error_deg']:.2f} | {row['pos_error_m']:.3f} |"
-                f" {px.get('rmse', float('nan')):.2f} |")
+            r = cr["results"]
+            suffix = f" [{vname}]" if vname else ""
+            for tag, kpk in (("coarse_epnp", "coarse"), ("coarse_ransac", "coarse"),
+                             ("two_pass_epnp", "two_pass"), ("two_pass_ransac", "two_pass"),
+                             ("oracle_epnp", "oracle"), ("oracle_ransac", "oracle")):
+                if tag not in r:
+                    continue
+                if vname == "e50" and tag.startswith("coarse"):
+                    continue  # e50 shares the coarse model: rows identical
+                # (w8 quantizes the COARSE pass too — keep its coarse rows)
+                row = r[tag]
+                px = r.get(f"kp_px_{kpk}", {})
+                lines.append(
+                    f"| {tag.replace('_', ' ')}{suffix} | {_fmt(row['esa_score'])} |"
+                    f" {row['ori_error_deg']:.2f} | {row['pos_error_m']:.3f} |"
+                    f" {px.get('rmse', float('nan')):.2f} |")
 
     fab = _load(os.path.join(suite_dir, "filter_ab.json"))
     if fab:
