@@ -127,3 +127,42 @@ def test_serve_keypoints_experiment(tmp_path, capsys):
     serve_main(["--experiment", str(exp), "--batch", "8", "--selftest-frames", "8"])
     out = capsys.readouterr().out
     assert "selftest:" in out and "frames/s" in out
+
+
+def test_serve_crop_refine_two_pass(tmp_path, capsys):
+    """--crop-refine serves the fused two-pass program; crops are produced
+    at the FINE model's trained resolution (fine_cfg.DATA.IMG_SIZE — the
+    ADVICE r4 crop_hw fix), exercised here with a fine model trained at a
+    different input size than the coarse pass."""
+    from spef_tpu.apps.serve import main as serve_main
+    from spef_tpu.config.train_config import default_config, save_config
+    from spef_tpu.models.wrapper import save_model as _save
+
+    def make_exp(name, img_size):
+        exp = tmp_path / name
+        (exp / "model").mkdir(parents=True)
+        cfg = default_config()
+        cfg.MODEL.BACKBONE.NAME = "small"
+        cfg.MODEL.HEAD.NAME = "keypoints_regression"
+        cfg.MODEL.HEAD.ORI = "keypoints"
+        cfg.MODEL.HEAD.POS = "keypoints"
+        cfg.MODEL.QUANTIZATION = False
+        cfg.DATA.PATH = "/nonexistent"
+        cfg.DATA.IMG_SIZE = list(img_size)
+        save_config(cfg, str(exp / "config.yaml"))
+        model = import_model(
+            backbone_name="small", head_name="keypoints_regression",
+            img_size=img_size, ori_mode="keypoints", pos_mode="keypoints",
+            n_keypoint_outputs=24, seed=11,
+        )
+        _save(str(exp / "model"), model)
+        return str(exp)
+
+    coarse = make_exp("exp_coarse", (32, 48))
+    fine = make_exp("exp_fine", (16, 24))  # different trained resolution
+
+    serve_main(["--experiment", coarse, "--crop-refine", fine,
+                "--batch", "8", "--selftest-frames", "8"])
+    out = capsys.readouterr().out
+    assert "Serving two-pass crop-refine pipeline" in out
+    assert "selftest:" in out and "frames/s" in out
