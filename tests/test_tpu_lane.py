@@ -52,6 +52,68 @@ class TestPallasKernelsOnChip:
         b = xla_depthwise3x3(x, w, mult, bias, **kw)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_int8_matmul_bits_carry_bit_exact(self):
+        """in_unsigned decode + out_bits emit (interior unsigned 8-bit grids,
+        w8a8 family — r5): the Pallas kernel must match the XLA op on-chip
+        when the input carries uint8 bits AND the output grid is unsigned."""
+        from spef_tpu.ops.pallas.int8_ops import int8_matmul_requant, xla_matmul_requant
+
+        rng = np.random.RandomState(2)
+        q_true = rng.randint(0, 256, (256, 128))  # unsigned q incl. >127
+        x_bits = jnp.asarray(np.where(q_true > 127, q_true - 256, q_true).astype(np.int8))
+        w = jnp.asarray(rng.randint(-128, 128, (128, 128), np.int8))
+        mult = jnp.asarray(rng.rand(128).astype(np.float32) * 1e-2)
+        bias = jnp.asarray(rng.randn(128).astype(np.float32) * 1e-2)
+        kw = dict(relu=True, out_inv_step=9.0, out_qmax=255.0, out_qmin=0.0,
+                  in_unsigned=True, out_bits=True)
+        a = int8_matmul_requant(x_bits, w, mult, bias, **kw)
+        b = xla_matmul_requant(x_bits, w, mult, bias, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # The emit genuinely exercises the wrap region (negative bits).
+        assert (np.asarray(a) < 0).any()
+
+    def test_int8_depthwise_bits_carry_bit_exact(self):
+        from spef_tpu.ops.pallas.int8_ops import int8_depthwise3x3, xla_depthwise3x3
+
+        rng = np.random.RandomState(3)
+        q_true = rng.randint(0, 256, (2, 16, 16, 128))
+        x_bits = jnp.asarray(np.where(q_true > 127, q_true - 256, q_true).astype(np.int8))
+        w = jnp.asarray(rng.randint(-8, 8, (3, 3, 128), np.int8))
+        mult = jnp.asarray(rng.rand(128).astype(np.float32) * 1e-2)
+        bias = jnp.asarray(rng.randn(128).astype(np.float32) * 1e-2)
+        kw = dict(stride=1, in_step=0.05, out_inv_step=900.0, out_qmax=255.0,
+                  in_unsigned=True, out_bits=True)
+        a = int8_depthwise3x3(x_bits, w, mult, bias, **kw)
+        b = xla_depthwise3x3(x_bits, w, mult, bias, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert (np.asarray(a) < 0).any()
+
+    def test_w8a8_pallas_pipeline_on_chip(self):
+        """Whole-pipeline w8a8 parity ON CHIP: the per-layer Pallas executor
+        (bits-carries through HBM) vs the exact int32 reference executor."""
+        from spef_tpu.models.wrapper import import_model
+        from spef_tpu.quant.bitwidth import default_bit_width
+        from spef_tpu.quant.convert import convert_qat_params
+        from spef_tpu.quant.int8_model import build_int8_forward
+        from spef_tpu.quant.int8_pallas import build_pallas_forward
+        from spef_tpu.quant.parity import compare_tensors
+
+        bw = default_bit_width(n_blocks=2, w=8, a=8, shared=8)
+        bw["inverted_residual"][0] = [(8, 8), (8, 8), (8,)]
+        model = import_model(
+            backbone_name="small_mobile_q", head_name="ursonet_q",
+            img_size=(48, 64), bit_width=bw, ori_mode="classification",
+            n_ori_bins=64, pos_mode="regression", seed=3,
+        )
+        graph = convert_qat_params(model)
+        images = jnp.asarray(
+            np.random.RandomState(11).randint(0, 256, (4, 48, 64, 3), dtype=np.uint8))
+        ref = jax.jit(build_int8_forward(graph))(images)
+        pal = build_pallas_forward(graph, backend="pallas")(images)
+        for k, (r, o) in enumerate(zip(ref, pal)):
+            m = compare_tensors(r, o)
+            assert m["cosine"] > 0.999, (k, m)
+
     def _block_entry(self, rng, cin, ch, cout, stride, residual):
         def conv(shape):
             return {
