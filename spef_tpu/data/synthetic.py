@@ -185,6 +185,7 @@ def create_crop_dataset(
     seed: int = 1001,
     camera: Camera = DSPEED_CAMERA,
     splits: Tuple[str, ...] = ("train", "valid", "test"),
+    n_jitter: int = 1,
 ) -> str:
     """Derive a crop-refine training set from an existing still dataset.
 
@@ -220,23 +221,32 @@ def create_crop_dataset(
             v0 = k[1, 1] * pos[1] / pos[2] + k[1, 2]
             un = np.concatenate([[u0], uv[:, 0]]) / camera.nu
             vn = np.concatenate([[v0], uv[:, 1]]) / camera.nv
-            cx = (un.min() + un.max()) / 2
-            cy = (vn.min() + vn.max()) / 2
-            s = max(un.max() - un.min(), vn.max() - vn.min()) * margin
-            if split == "train":
-                s *= rng.uniform(*jitter_scale)
-                cx += rng.uniform(-jitter_center, jitter_center) * s
-                cy += rng.uniform(-jitter_center, jitter_center) * s
-            else:
-                s *= 1.2  # deterministic eval-style margin
-            s = float(np.clip(s, min_size, 1.0))
-            cx = float(np.clip(cx, s / 2, 1 - s / 2))
-            cy = float(np.clip(cy, s / 2, 1 - s / 2))
-            window = np.array([cx, cy, s], np.float32)
-            frame = render_frame(q, pos, camera, img_size, rng=rng, window=window)
-            cv2.imwrite(os.path.join(img_dir, t["filename"]), frame)
-            out_labels.append({"filename": t["filename"], "q": t["q"], "t": t["t"],
-                               "crop": window.tolist()})
+            cx0 = (un.min() + un.max()) / 2
+            cy0 = (vn.min() + vn.max()) / 2
+            s0 = max(un.max() - un.min(), vn.max() - vn.min()) * margin
+            # n_jitter > 1 renders several independently-jittered windows per
+            # TRAIN frame (variant prefix on the filename): the fixed-window
+            # set lets the fine model overfit each frame's single crop (r4
+            # run saturated by epoch 14); multiple draws restore window
+            # diversity at n_jitter x the epoch cost.
+            variants = n_jitter if split == "train" else 1
+            for v in range(variants):
+                cx, cy, s = cx0, cy0, s0
+                if split == "train":
+                    s *= rng.uniform(*jitter_scale)
+                    cx += rng.uniform(-jitter_center, jitter_center) * s
+                    cy += rng.uniform(-jitter_center, jitter_center) * s
+                else:
+                    s *= 1.2  # deterministic eval-style margin
+                s = float(np.clip(s, min_size, 1.0))
+                cx = float(np.clip(cx, s / 2, 1 - s / 2))
+                cy = float(np.clip(cy, s / 2, 1 - s / 2))
+                window = np.array([cx, cy, s], np.float32)
+                frame = render_frame(q, pos, camera, img_size, rng=rng, window=window)
+                fname = t["filename"] if variants == 1 else f"j{v}_{t['filename']}"
+                cv2.imwrite(os.path.join(img_dir, fname), frame)
+                out_labels.append({"filename": fname, "q": t["q"], "t": t["t"],
+                                   "crop": window.tolist()})
         with open(os.path.join(out_root, split, "pose.json"), "w") as f:
             json.dump(out_labels, f)
     return out_root
