@@ -82,7 +82,11 @@ def main(argv=None):
     ap.add_argument("--split", default="test")
     ap.add_argument("--limit", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--margin", type=float, default=1.25)
+    ap.add_argument("--margin", type=float, default=1.5,
+                    help="box = keypoint extent * margin, for BOTH the "
+                         "predicted and the oracle box; must sit inside the "
+                         "fine model's trained window-scale distribution "
+                         "(extent*[1.31, 1.88] for the crop recipe)")
     ap.add_argument("--weight-only", action="store_true",
                     help="snap every conv/dense kernel of BOTH pass models "
                          "to per-channel int8 grids (quant/weight_only.py) — "
@@ -124,9 +128,15 @@ def main(argv=None):
     box_fn = jax.jit(lambda kp: crop_box_from_keypoints(kp, margin=args.margin))
 
     def gt_box(ori, pos):
+        # Same margin as the predicted box: the fine model's valid accuracy
+        # was measured on extent*1.5 windows (create_crop_dataset valid:
+        # margin 1.25 * 1.2) and its TRAIN windows span extent*[1.31, 1.88]
+        # — an eval margin below ~1.3 puts keypoints at the crop borders,
+        # outside the training distribution (measured r5: margin 1.25/1.2
+        # gave two-pass RMSE 68px with median 11.5px — a pure outlier tail).
         kp_full = spe.keypoints.create_keypoints2d(jnp.asarray(ori), jnp.asarray(pos))
         return np.asarray(crop_box_from_keypoints(
-            kp_full, margin=1.2, outlier_k=None))
+            kp_full, margin=args.margin, outlier_k=None))
 
     def render_crops(oris, poss, boxes):
         crops = np.zeros((len(boxes),) + img_size + (3,), np.uint8)

@@ -188,7 +188,13 @@ class CropRefinePipeline:
     coarse_fn: Callable[[jax.Array], jax.Array]
     fine_fn: Callable[[jax.Array], jax.Array]
     crop_hw: Tuple[int, int] = (240, 384)
-    margin: float = 1.25
+    # Box = predicted keypoint extent * margin.  1.5 sits mid-distribution
+    # of the crop-recipe fine model's TRAINING windows (extent*[1.31, 1.88],
+    # create_crop_dataset) and equals its valid-split window scale; margins
+    # below ~1.3 put keypoints at the crop borders, outside the training
+    # distribution (measured r5: margin 1.25 -> two-pass kp RMSE 68px with
+    # median 11.5px — a pure outlier tail).
+    margin: float = 1.5
     min_size: float = MIN_BOX_SIZE
 
     def __call__(self, images: jax.Array) -> Dict[str, jax.Array]:

@@ -164,7 +164,7 @@ class SPECropRefine:
         fine: SPEModel,
         spe_utils: SPEUtils,
         crop_hw: Optional[Tuple[int, int]] = None,
-        margin: float = 1.25,
+        margin: float = 1.5,  # see CropRefinePipeline.margin (codec/crop.py)
         decode: bool = True,
         mesh=None,
     ):
