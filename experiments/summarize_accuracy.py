@@ -307,6 +307,7 @@ def main(exp_dir, suite_dir, out_path=None):
         (name, _load(os.path.join(suite_dir, fname))) for name, fname in (
             ("", "crop_refine.json"),             # fine = best-on-loss (r4)
             ("e50", "crop_refine_e50.json"),      # fine = epoch-50 (ESA-best)
+            ("v2", "crop_refine_v2.json"),        # fine = v2 jittered-window retrain
             ("w8", "crop_refine_w8.json"),        # weight-only int8 rung
         )]
     cr0 = next((doc for _, doc in cr_variants if doc), None)
@@ -321,8 +322,9 @@ def main(exp_dir, suite_dir, out_path=None):
             "ground-truth box (isolates detector-box error from fine-",
             "regressor error). Variants: plain = r4 best-on-valid-LOSS fine",
             "model; `e50` = the epoch-50 checkpoint (valid-ESA-best — see",
-            "TRAIN.BEST_METRIC); `w8` = both pass models' kernels on",
-            "per-channel int8 grids (`quant/weight_only.py`).",
+            "TRAIN.BEST_METRIC); `v2` = the r5 retrain on 2-jitter wider",
+            "windows (exp_keypoints_crop2_synth); `w8` = both pass models'",
+            "kernels on per-channel int8 grids (`quant/weight_only.py`).",
             "",
             "| pipeline | ESA (test) | ori (deg) | pos (m) | kp RMSE (px) |",
             "|---|---|---|---|---|",
@@ -337,8 +339,8 @@ def main(exp_dir, suite_dir, out_path=None):
                              ("oracle_epnp", "oracle"), ("oracle_ransac", "oracle")):
                 if tag not in r:
                     continue
-                if vname == "e50" and tag.startswith("coarse"):
-                    continue  # e50 shares the coarse model: rows identical
+                if vname in ("e50", "v2") and tag.startswith("coarse"):
+                    continue  # e50/v2 share the coarse model: rows identical
                 # (w8 quantizes the COARSE pass too — keep its coarse rows)
                 row = r[tag]
                 px = r.get(f"kp_px_{kpk}", {})
