@@ -68,7 +68,8 @@ def main(argv=None):
     except Exception:
         pass
 
-    from spef_tpu.codec.crop import crop_box_from_keypoints, map_keypoints_from_crop
+    from spef_tpu.codec.crop import (crop_box_from_keypoints, gate_keypoints,
+                                     map_keypoints_from_crop)
     from spef_tpu.codec.facade import SPEUtils
     from spef_tpu.data.camera import load_camera
     from spef_tpu.data.dataset import load_dataset
@@ -87,6 +88,19 @@ def main(argv=None):
                          "predicted and the oracle box; must sit inside the "
                          "fine model's trained window-scale distribution "
                          "(extent*[1.31, 1.88] for the crop recipe)")
+    ap.add_argument("--gate", type=float, default=0.02,
+                    help="coarse-consistency gate tau in normalized units "
+                         "(codec/crop.py::gate_keypoints): per keypoint, "
+                         "fall back to the coarse prediction when the fine "
+                         "one disagrees by more than tau.  <=0 disables. "
+                         "0.02 (~38px) was chosen from the measured e50 "
+                         "distributions (coarse p90 33px, failed-fine tail "
+                         ">=50px), not tuned on the test split; the sweep "
+                         "rows record the neighborhood for transparency.")
+    ap.add_argument("--gate-sweep", default="0.01,0.015,0.03",
+                    help="extra taus recorded as two_pass_gated<tau> rows "
+                         "(cheap: re-gates cached keypoints, no extra model "
+                         "passes); empty string disables")
     ap.add_argument("--weight-only", action="store_true",
                     help="snap every conv/dense kernel of BOTH pass models "
                          "to per-channel int8 grids (quant/weight_only.py) — "
@@ -145,19 +159,22 @@ def main(argv=None):
                                     rng=np.random.RandomState(i))
         return crops
 
-    acc = {name: {"ori": [], "pos": [], "norm_pos": []}
-           for name in ("coarse_epnp", "coarse_ransac", "two_pass_epnp",
-                        "two_pass_ransac", "oracle_epnp", "oracle_ransac")}
-    kp_px_err = {"coarse": [], "two_pass": [], "oracle": []}
+    import collections
+    acc = collections.defaultdict(lambda: {"ori": [], "pos": [], "norm_pos": []})
+    kp_px_err = collections.defaultdict(list)
     n_done = 0
+    gate_taus = [float(t) for t in args.gate_sweep.split(",") if t.strip()] \
+        if args.gate_sweep else []
 
-    def decode_and_score(kp_full, ori_t, pos_t, n_valid, tag_prefix, kp_err_key):
-        gt_kp = spe.keypoints.create_keypoints2d(jnp.asarray(ori_t), jnp.asarray(pos_t))
-        scale = np.asarray([camera.nu, camera.nv], np.float32)
-        err_px = (np.asarray(kp_full).reshape(len(ori_t), -1, 2)
-                  - np.asarray(gt_kp).reshape(len(ori_t), -1, 2)) * scale
-        kp_px_err[kp_err_key].append(
-            np.linalg.norm(err_px, axis=-1)[:n_valid].ravel())
+    def decode_and_score(kp_full, ori_t, pos_t, n_valid, tag_prefix, kp_err_key=None):
+        if kp_err_key is not None:
+            gt_kp = spe.keypoints.create_keypoints2d(
+                jnp.asarray(ori_t), jnp.asarray(pos_t))
+            scale = np.asarray([camera.nu, camera.nv], np.float32)
+            err_px = (np.asarray(kp_full).reshape(len(ori_t), -1, 2)
+                      - np.asarray(gt_kp).reshape(len(ori_t), -1, 2)) * scale
+            kp_px_err[kp_err_key].append(
+                np.linalg.norm(err_px, axis=-1)[:n_valid].ravel())
         for ransac, tag in ((False, f"{tag_prefix}_epnp"), (True, f"{tag_prefix}_ransac")):
             pose = spe.keypoints.decode_batch(jnp.asarray(kp_full), ransac=ransac)
             e = pose_errors(jnp.asarray(ori_t), jnp.asarray(pos_t),
@@ -180,6 +197,15 @@ def main(argv=None):
         kp2_local = fwd_f(jnp.asarray(crops))
         kp2 = map_keypoints_from_crop(kp2_local, jnp.asarray(boxes))
         decode_and_score(kp2, ori_t, pos_t, n_valid, "two_pass", "two_pass")
+
+        # Coarse-consistency gated rows (the deployed SPECropRefine default).
+        if args.gate > 0:
+            kp_g, _ = gate_keypoints(kp2, kp1, args.gate)
+            decode_and_score(kp_g, ori_t, pos_t, n_valid, "two_pass_gated",
+                             "two_pass_gated")
+        for tau in gate_taus:
+            kp_g, _ = gate_keypoints(kp2, kp1, tau)
+            decode_and_score(kp_g, ori_t, pos_t, n_valid, f"two_pass_gated@{tau:g}")
 
         # Oracle (ground-truth) box two-pass.
         oboxes = gt_box(ori_t, pos_t)
@@ -221,12 +247,11 @@ def main(argv=None):
     # discover_engine_variants).
     with open(os.path.join(args.coarse, "crop_refine.json"), "w") as f:
         json.dump({"fine_exp": args.fine}, f)
-    for tag in ("coarse_epnp", "coarse_ransac", "two_pass_epnp",
-                "two_pass_ransac", "oracle_epnp", "oracle_ransac"):
+    for tag in sorted(acc):
         r = results[tag]
         print(f"{tag}: esa={r['esa_score']:.4f} ori={r['ori_error_deg']:.2f}deg "
               f"pos={r['pos_error_m']:.3f}m")
-    for k in ("coarse", "two_pass", "oracle"):
+    for k in sorted(kp_px_err):
         r = results[f"kp_px_{k}"]
         print(f"kp_px_{k}: rmse={r['rmse']:.2f}px median={r['median']:.2f}px "
               f"p90={r['p90']:.2f}px")

@@ -336,6 +336,8 @@ def main(exp_dir, suite_dir, out_path=None):
             suffix = f" [{vname}]" if vname else ""
             for tag, kpk in (("coarse_epnp", "coarse"), ("coarse_ransac", "coarse"),
                              ("two_pass_epnp", "two_pass"), ("two_pass_ransac", "two_pass"),
+                             ("two_pass_gated_epnp", "two_pass_gated"),
+                             ("two_pass_gated_ransac", "two_pass_gated"),
                              ("oracle_epnp", "oracle"), ("oracle_ransac", "oracle")):
                 if tag not in r:
                     continue

@@ -46,6 +46,7 @@ __all__ = [
     "jitter_box",
     "map_keypoints_to_crop",
     "map_keypoints_from_crop",
+    "gate_keypoints",
     "crop_resize",
     "CropRefinePipeline",
 ]
@@ -139,6 +140,32 @@ def map_keypoints_from_crop(keypoints2d: jax.Array, box: jax.Array) -> jax.Array
     return out.reshape(keypoints2d.shape)
 
 
+def gate_keypoints(
+    fine: jax.Array, coarse: jax.Array, tau: float
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-keypoint coarse-consistency gate for the two-pass pipeline.
+
+    Keeps each fine-pass keypoint only while it lies within ``tau``
+    (normalized units) of the coarse prediction, else falls back to the
+    coarse one.  Rationale (measured, r5 e50 eval): the fine regressor
+    HALVES the median error (7.4px vs 13.3px coarse at 1920-px scale) but
+    fails globally on a minority of frames (two-pass p90 57px vs coarse
+    33px) — and on exactly those frames the coarse prediction is fine, so
+    the fine-vs-coarse disagreement separates the two regimes cleanly
+    (good-fine disagreement ~= coarse error <= ~33px; failed-fine
+    disagreement >= ~50px; ``tau`` 0.02 ~= 38px sits between).  Branch-free
+    ``where``; shapes static; `(..., 2K)` layout as everywhere else.
+
+    Returns ``(gated_keypoints, keep_mask (..., K))``.
+    """
+    f = fine.reshape(*fine.shape[:-1], -1, 2)
+    c = coarse.reshape(*coarse.shape[:-1], -1, 2)
+    d = jnp.linalg.norm(f - c, axis=-1, keepdims=True)
+    keep = d <= tau
+    out = jnp.where(keep, f, c)
+    return out.reshape(fine.shape), keep[..., 0]
+
+
 def _axis_operator(center: jax.Array, side: jax.Array, n_in: int, n_out: int) -> jax.Array:
     """Per-sample 1-D bilinear resampling operator ``(B, n_out, n_in)``.
 
@@ -196,6 +223,10 @@ class CropRefinePipeline:
     # median 11.5px — a pure outlier tail).
     margin: float = 1.5
     min_size: float = MIN_BOX_SIZE
+    # Coarse-consistency gate (see gate_keypoints): None disables.  0.02
+    # normalized (~38px at SPEED sensor scale) separates the fine model's
+    # global-failure tail from its (dominant) fine-is-better regime.
+    gate: Optional[float] = 0.02
 
     def __call__(self, images: jax.Array) -> Dict[str, jax.Array]:
         coarse = jax.nn.sigmoid(self.coarse_fn(images))
@@ -203,4 +234,10 @@ class CropRefinePipeline:
         crops = crop_resize(images, box, self.crop_hw)
         fine_local = jax.nn.sigmoid(self.fine_fn(crops))
         fine = map_keypoints_from_crop(fine_local, box)
-        return {"keypoints": fine, "keypoints_coarse": coarse, "crop_box": box}
+        out = {"keypoints": fine, "keypoints_coarse": coarse, "crop_box": box}
+        if self.gate is not None:
+            gated, keep = gate_keypoints(fine, coarse, self.gate)
+            out["keypoints"] = gated
+            out["keypoints_fine"] = fine
+            out["gate_keep"] = keep
+        return out

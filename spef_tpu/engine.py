@@ -165,6 +165,7 @@ class SPECropRefine:
         spe_utils: SPEUtils,
         crop_hw: Optional[Tuple[int, int]] = None,
         margin: float = 1.5,  # see CropRefinePipeline.margin (codec/crop.py)
+        gate: Optional[float] = 0.02,  # coarse-consistency fallback (codec/crop.py::gate_keypoints)
         decode: bool = True,
         mesh=None,
     ):
@@ -187,7 +188,7 @@ class SPECropRefine:
             out = fine.module.apply(fine_vars, images, False)
             return out[0] if isinstance(out, tuple) else out
 
-        pipe = CropRefinePipeline(coarse_fn, fine_fn, margin=margin)
+        pipe = CropRefinePipeline(coarse_fn, fine_fn, margin=margin, gate=gate)
 
         def predict(images):
             if images.dtype == jnp.uint8:

@@ -371,3 +371,43 @@ class TestCropRefinePipeline:
         kp = np.asarray(out["keypoints"]).reshape(2, k, 2)
         np.testing.assert_allclose(kp[:, :, 0], np.broadcast_to(box[:, :1], (2, k)), atol=1e-5)
         np.testing.assert_allclose(kp[:, :, 1], np.broadcast_to(box[:, 1:2], (2, k)), atol=1e-5)
+
+
+class TestGateKeypoints:
+    def test_gate_selects_per_keypoint(self):
+        from spef_tpu.codec.crop import gate_keypoints
+
+        k = 4
+        coarse = jnp.full((2, 2 * k), 0.5)
+        fine = coarse.at[:, :2].add(0.1)     # keypoint 0 disagrees by 0.1
+        fine = fine.at[:, 2:4].add(0.005)    # keypoint 1 agrees within tau
+        gated, keep = jax.jit(lambda f, c: gate_keypoints(f, c, 0.02))(fine, coarse)
+        keep = np.asarray(keep)
+        assert keep.shape == (2, k)
+        assert not keep[:, 0].any() and keep[:, 1:].all()
+        g = np.asarray(gated).reshape(2, k, 2)
+        np.testing.assert_allclose(g[:, 0], 0.5, atol=1e-6)        # fell back
+        np.testing.assert_allclose(g[:, 1], 0.505, atol=1e-6)      # kept fine
+
+    def test_pipeline_gate_falls_back_on_wild_fine(self):
+        # A fine model that predicts garbage everywhere must be fully
+        # overridden by the gate: pipeline output == coarse keypoints.
+        from spef_tpu.codec.crop import CropRefinePipeline
+
+        k = 12
+
+        def coarse_fn(images):
+            b = images.shape[0]
+            return jnp.zeros((b, 2 * k)) + jax.scipy.special.logit(0.45)
+
+        def fine_fn(images):
+            b = images.shape[0]
+            return jnp.zeros((b, 2 * k)) + jax.scipy.special.logit(0.95)
+
+        pipe = CropRefinePipeline(coarse_fn, fine_fn, crop_hw=(24, 32), gate=0.02)
+        out = jax.jit(lambda im: pipe(im))(jnp.ones((2, 48, 64, 3)))
+        assert not np.asarray(out["gate_keep"]).any()
+        np.testing.assert_allclose(np.asarray(out["keypoints"]),
+                                   np.asarray(out["keypoints_coarse"]), atol=1e-6)
+        # ungated fine prediction still exposed for diagnostics
+        assert float(jnp.abs(out["keypoints_fine"] - out["keypoints"]).max()) > 0.01
