@@ -320,7 +320,15 @@ def main(exp_dir, suite_dir, out_path=None):
             f"{cr0['frames']} {cr0['split']}-split frames",
             "(`experiments/crop_refine_eval.py`). The oracle rows use the",
             "ground-truth box (isolates detector-box error from fine-",
-            "regressor error). Variants: plain = r4 best-on-valid-LOSS fine",
+            "regressor error). `gated` rows are the DEPLOYED default",
+            "(`codec/crop.py::gate_keypoints`, engine `SPECropRefine`):",
+            "per keypoint, fall back to the coarse prediction when the",
+            "fine pass disagrees by >0.02 normalized (~38px) — the fine",
+            "model halves the median error but fails globally on a",
+            "minority of frames where coarse is sound, and the",
+            "fine-vs-coarse disagreement separates the regimes (tau set",
+            "from measured distributions, not tuned on test; sweep rows",
+            "in the JSON). Variants: plain = r4 best-on-valid-LOSS fine",
             "model; `e50` = the epoch-50 checkpoint (valid-ESA-best — see",
             "TRAIN.BEST_METRIC); `v2` = the r5 retrain on 2-jitter wider",
             "windows (exp_keypoints_crop2_synth); `w8` = both pass models'",
