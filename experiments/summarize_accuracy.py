@@ -329,7 +329,10 @@ def main(exp_dir, suite_dir, out_path=None):
             "fine-vs-coarse disagreement separates the regimes (tau set",
             "from measured distributions, not tuned on test; sweep rows",
             "in the JSON). Variants: plain = r4 best-on-valid-LOSS fine",
-            "model; `e50` = the epoch-50 checkpoint (valid-ESA-best — see",
+            "model (measured at margin 1.25 — the out-of-distribution",
+            "window config that produced the outlier tail; kept for the",
+            "record, all other variants at the deployed margin 1.5);",
+            "`e50` = the epoch-50 checkpoint (valid-ESA-best — see",
             "TRAIN.BEST_METRIC); `v2` = the r5 retrain on 2-jitter wider",
             "windows (exp_keypoints_crop2_synth); `w8` = both pass models'",
             "kernels on per-channel int8 grids (`quant/weight_only.py`).",
