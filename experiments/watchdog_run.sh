@@ -51,11 +51,17 @@ while true; do
     fi
     sleep 30
     j=$(group_jiffies "$pgid")
-    if [ "$j" = "$last_j" ]; then
+    # Rate threshold, not equality: a process hung on an in-flight device
+    # call still ticks a few jiffies/min in heartbeat threads (measured:
+    # +1s CPU over 25 min).  Real work (training, eval, even a remote-
+    # compile's host-side tracing) burns orders of magnitude more than
+    # 5 jiffies (=50ms CPU) per 30s.
+    if (( last_j >= 0 && j - last_j < 5 )); then
       frozen_s=$((frozen_s + 30))
     else
-      frozen_s=0; last_j=$j
+      frozen_s=0
     fi
+    last_j=$j
     if (( frozen_s >= FREEZE )); then
       echo >&2 "watchdog: frozen ${frozen_s}s (jiffies $j); killing pgroup $pgid ($(date -u +%H:%M:%S))"
       kill -TERM -- "-$pgid" 2>/dev/null; sleep 10
