@@ -245,8 +245,17 @@ def main(argv=None):
     # Pointer file: marks the coarse experiment as crop-refine-capable so the
     # GUI/engine registry offers the two-pass variant (engine.py::
     # discover_engine_variants).
-    with open(os.path.join(args.coarse, "crop_refine.json"), "w") as f:
-        json.dump({"fine_exp": args.fine}, f)
+    ptr_path = os.path.join(args.coarse, "crop_refine.json")
+    ptr = {}
+    if os.path.isfile(ptr_path):
+        try:
+            with open(ptr_path) as f:
+                ptr = json.load(f)
+        except ValueError:
+            ptr = {}
+    ptr["fine_exp"] = args.fine
+    with open(ptr_path, "w") as f:
+        json.dump(ptr, f)
     for tag in sorted(acc):
         r = results[tag]
         print(f"{tag}: esa={r['esa_score']:.4f} ori={r['ori_error_deg']:.2f}deg "

@@ -88,22 +88,74 @@ print(arg)
 EOF
 )
 echo "best fine model: $BEST_FINE"
-python - "$BEST_FINE" <<'EOF'
+
+if [ ! -f "$OUT/crop_refine_valid.json" ]; then
+  echo "== R5E-IIIa. gate tau tuning on the VALID split (winning fine model) =="
+  wait_preempt
+  $WD 5400 600 -- python experiments/crop_refine_eval.py \
+      --fine "$BEST_FINE" --split valid \
+      --gate 0.02 --gate-sweep "0.015,0.025,0.03,0.04,0.05" \
+      --out "$OUT/crop_refine_valid.json" \
+      > "$TS/crop_refine_valid_r5.log" 2>&1
+  tail -16 "$TS/crop_refine_valid_r5.log"
+fi
+
+TAU=$(python - <<'EOF'
+import json, re
+try:
+    d = json.load(open("experiments/accuracy_suite/crop_refine_valid.json"))
+except Exception:
+    print("0.02"); raise SystemExit
+r = d["results"]
+cands = {0.02: r["two_pass_gated_ransac"]["esa_score"]}
+for k, v in r.items():
+    m = re.match(r"two_pass_gated@([0-9.]+)_ransac$", k)
+    if m:
+        cands[float(m.group(1))] = v["esa_score"]
+tau = min(cands, key=cands.get)
+# If the ungated two-pass beats every gated variant on valid, keep the
+# mildest gate anyway only when it is within noise; else disable (tau=1).
+if r["two_pass_ransac"]["esa_score"] < cands[tau] - 1e-4:
+    tau = 1.0
+print(f"{tau:g}")
+EOF
+)
+echo "valid-tuned gate tau: $TAU"
+python - "$BEST_FINE" "$TAU" <<'EOF'
 import json, sys
 with open("experiments/train_synth/exp_keypoints_heatmap_synth/crop_refine.json", "w") as f:
-    json.dump({"fine_exp": sys.argv[1]}, f)
+    json.dump({"fine_exp": sys.argv[1], "gate": float(sys.argv[2])}, f)
 EOF
-git add "$TS/exp_keypoints_heatmap_synth/crop_refine.json"
-git commit -q -m "Engine registry: point crop-refine at the winning fine model" || true
+commit_stage "Gate tau tuned on the valid split; registry carries {fine_exp, gate}" \
+    "$OUT/crop_refine_valid.json" "$TS/crop_refine_valid_r5.log" \
+    "$TS/exp_keypoints_heatmap_synth/crop_refine.json"
 
-if [ "$BEST_FINE" = "$V2" ] && ! grep -q "crop2" "$OUT/crop_refine_w8.json" 2>/dev/null; then
-  echo "== R5E-III. w8 ladder re-run with the winning v2 fine model =="
+if [ "$TAU" != "0.02" ]; then
+  echo "== R5E-IIIb. TEST re-eval of the winner at the deployed tau =="
+  WINNER_OUT="$OUT/crop_refine_e50.json"
+  [ "$BEST_FINE" = "$V2" ] && WINNER_OUT="$OUT/crop_refine_v2.json"
+  wait_preempt
+  $WD 5400 600 -- python experiments/crop_refine_eval.py \
+      --fine "$BEST_FINE" --gate "$TAU" \
+      --out "$WINNER_OUT" \
+      > "$TS/crop_refine_final_r5.log" 2>&1
+  tail -16 "$TS/crop_refine_final_r5.log"
+  commit_stage "Crop-refine final test rows at the valid-tuned deployed gate" \
+      "$WINNER_OUT" "$TS/crop_refine_final_r5.log" \
+      "$TS/exp_keypoints_heatmap_synth/crop_refine.json"
+fi
+
+W8_STALE=0
+[ "$BEST_FINE" = "$V2" ] && ! grep -q "crop2" "$OUT/crop_refine_w8.json" 2>/dev/null && W8_STALE=1
+[ "$TAU" != "0.02" ] && W8_STALE=1
+if [ "$W8_STALE" = "1" ]; then
+  echo "== R5E-III. w8 ladder re-run (winner + deployed tau) =="
   wait_preempt
   $WD 5400 600 -- python experiments/crop_refine_eval.py --weight-only \
-      --fine "$V2" \
+      --fine "$BEST_FINE" --gate "$TAU" \
       > "$TS/crop_refine_w8v2_r5.log" 2>&1
   tail -16 "$TS/crop_refine_w8v2_r5.log"
-  commit_stage "Crop-refine weight-only ladder re-run: v2 fine model won the selection" \
+  commit_stage "Crop-refine weight-only ladder re-run at the deployed configuration" \
       "$OUT/crop_refine_w8.json" "$TS/crop_refine_w8v2_r5.log"
 fi
 

@@ -323,7 +323,9 @@ def main(exp_dir, suite_dir, out_path=None):
             "regressor error). `gated` rows are the DEPLOYED default",
             "(`codec/crop.py::gate_keypoints`, engine `SPECropRefine`):",
             "per keypoint, fall back to the coarse prediction when the",
-            "fine pass disagrees by >0.02 normalized (~38px) — the fine",
+            "fine pass disagrees by more than the deployed tau (tuned on",
+            "the VALID split, stored in the engine registry",
+            "`crop_refine.json`; crop_refine_valid.json) — the fine",
             "model halves the median error but fails globally on a",
             "minority of frames where coarse is sound, and the",
             "fine-vs-coarse disagreement separates the regimes (tau set",

@@ -279,7 +279,11 @@ def build_engine_variant(exp_dir: str, model: SPEModel, spe_utils: SPEUtils,
         from spef_tpu.models.wrapper import import_model
 
         with open(os.path.join(exp_dir, "crop_refine.json")) as f:
-            fine_exp = json.load(f)["fine_exp"]
+            reg = json.load(f)
+        fine_exp = reg["fine_exp"]
+        # Deployed gate tau travels with the registry pointer (tuned on the
+        # VALID split by experiments/crop_refine_eval.py --split valid).
+        gate = reg.get("gate", 0.02)
         fine_cfg = load_config(os.path.join(fine_exp, "config.yaml"))
         fine_model = import_model(
             backbone_name=fine_cfg.MODEL.BACKBONE.NAME,
@@ -303,7 +307,8 @@ def build_engine_variant(exp_dir: str, model: SPEModel, spe_utils: SPEUtils,
             fine_model.variables, _ = quantize_model_weights(
                 fine_model.variables, bits=8)
         return SPECropRefine(model, fine_model, spe_utils,
-                             crop_hw=tuple(fine_cfg.DATA.IMG_SIZE), mesh=mesh)
+                             crop_hw=tuple(fine_cfg.DATA.IMG_SIZE),
+                             gate=gate, mesh=mesh)
     forward_fn = None
     if variant in ("weight-only", "int8-carry"):
         import pickle
