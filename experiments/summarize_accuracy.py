@@ -478,6 +478,28 @@ def main(exp_dir, suite_dir, out_path=None):
                   "Ranked by int8 test ESA (best -> worst): " +
                   ", ".join(f"{n} ({e:.4f})" for n, e in ranked)]
 
+        # Plan-coverage note: the curated plan is 15 cases (breadth-first so
+        # a time-capped partial run still covers every family — see
+        # bitwidth_sweep.py::build_cases).  If the tail is missing, say so
+        # explicitly with what the missing cases are (VERDICT r4 #3).
+        planned = ["uniform_w8a8", "dw_w2", "expand_a2", "proj_w2",
+                   "shared_a3", "block1_dw_w1", "block15_dw_w1",
+                   "block1_expand_a3", "block15_expand_a3", "dw_w4",
+                   "dw_w3", "expand_a4", "expand_a3", "proj_w4", "shared_a4"]
+        missing = [n for n in planned if n not in sweep]
+        if missing:
+            lines += [
+                "",
+                f"**Coverage: {len(sweep)}/{len(planned)} planned cases.**",
+                f"Missing: {', '.join(missing)} — all mild-width curve-fill",
+                "points (w3/w4/a3/a4) whose families already have their",
+                "most-aggressive-width anchor measured above; chip-time on",
+                "the wedging relay was spent on the crop-refine headline",
+                "first (r5 queue logs). The breadth-first ordering is",
+                "deliberate so exactly this cut loses curve resolution, not",
+                "family coverage.",
+            ]
+
     text = "\n".join(lines) + "\n"
     out_path = out_path or "ACCURACY.md"
     with open(out_path, "w") as f:
